@@ -1,0 +1,207 @@
+"""Configuration and derived frame-geometry math.
+
+Reproduces the derived-parameter semantics of the reference processor's
+configuration layer (reference: config.py:6-98) because those quantities —
+pow2 CPI length, the rational resampling approximation with denominator <= 20,
+pow2 Doppler bin count — define the output frame geometry and therefore the
+compatibility surface of the whole framework. The computation here is pure
+host-side Python (exact integer / Fraction arithmetic where possible).
+
+Divergences from the reference (documented, deliberate):
+  * the ``overlap_cpi: False`` branch is fixed — the reference references an
+    undefined key and crashes (reference config.py:77).
+  * all values live in a frozen dataclass with explicit names instead of a
+    free-form dict, but ``__getitem__`` is provided for dict-style access.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fractions
+import math
+from typing import Any, Mapping
+
+import yaml
+
+
+def nextpow2(i: float) -> int:
+    """Smallest power of two >= i (reference: config.py:87-90)."""
+    n = 1
+    while n < i:
+        n *= 2
+    return n
+
+
+def nearestpow2(i: float) -> int:
+    """Power of two closest to i (reference: config.py:92-98)."""
+    nxt = nextpow2(i)
+    prv = nxt // 2
+    if (nxt - i) < (i - prv):
+        return nxt
+    return prv
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    # ---- raw input-file options -------------------------------------------------
+    input_file: str = ""
+    interleaved_input_channels: bool = False
+    input_ref_path: str = "/data/ref"
+    input_srv_path: str = "/data/srv"
+    interleaved_data_path: str = "/data"
+
+    # ---- raw output options -----------------------------------------------------
+    range_doppler_map_ftype: str = "hdf5"
+    output_fname: str = "XAMBG"
+    num_frames: int = 100
+
+    # ---- raw radio parameters ---------------------------------------------------
+    input_sample_rate: int = 2_400_000
+    input_center_freq: int = 102_000_000
+    channel_freq: int = 101_900_000
+    channel_bandwidth: int = 200_000
+
+    # ---- raw processing parameters ---------------------------------------------
+    cpi_seconds_nominal: float = 2.0
+    max_doppler_nominal: float = 256.0
+    max_range_nominal: float = 200.0
+    overlap_cpi: bool = True
+
+    # ---- framework-specific knobs (no reference analog) -------------------------
+    clutter_doppler_bins: tuple = (0, 1, -1, 2, -2)  # reference main.py:174
+    caf_window: tuple = ("kaiser", 5.0)              # reference main.py:183
+    frame_batch: int = 8      # frames processed per device dispatch
+    max_measurements: int = 384  # fixed-shape candidate-measurement budget
+
+    # ---- derived (filled by derive_config) --------------------------------------
+    cpi_samples: int = 0
+    desired_IF_sample_rate: float = 0.0
+    resamp_up: int = 1
+    resamp_dn: int = 1
+    IF_sample_rate: float = 0.0
+    cpi_seconds_actual: float = 0.0
+    doppler_cell_width: float = 0.0
+    range_cell_width: float = 0.0
+    num_range_cells: int = 0
+    max_range_actual: float = 0.0
+    num_doppler_cells: int = 0
+    max_doppler_actual: float = 0.0
+    offset_freq: int = 0
+    input_chunk_length: int = 0
+    output_chunk_length: int = 0
+    window_overlap: int = 0
+    frame_interval: float = 0.0
+    range_doppler_map_fname: str = ""
+    meta_fname: str = ""
+
+    def __getitem__(self, key: str) -> Any:
+        return getattr(self, key)
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    # Number of complex IF samples entering the CAF per frame, including halo.
+    @property
+    def caf_input_samples(self) -> int:
+        return self.output_chunk_length + 2 * self.window_overlap
+
+
+_RAW_KEYS = {
+    "input_file", "interleaved_input_channels", "input_ref_path",
+    "input_srv_path", "interleaved_data_path", "range_doppler_map_ftype",
+    "output_fname", "num_frames", "input_sample_rate", "input_center_freq",
+    "channel_freq", "channel_bandwidth", "cpi_seconds_nominal",
+    "max_doppler_nominal", "max_range_nominal", "overlap_cpi",
+    "clutter_doppler_bins", "caf_window", "frame_batch", "max_measurements",
+}
+
+
+def derive_config(params: Mapping[str, Any]) -> RadarConfig:
+    """Compute the full derived parameter set from raw YAML-style parameters.
+
+    Mirrors the reference's derivation chain (config.py:13-83) exactly so the
+    output frame geometry is identical.
+    """
+    raw = {k: v for k, v in params.items() if k in _RAW_KEYS}
+    if "clutter_doppler_bins" in raw:
+        raw["clutter_doppler_bins"] = tuple(raw["clutter_doppler_bins"])
+    if "caf_window" in raw:
+        raw["caf_window"] = tuple(raw["caf_window"]) if not isinstance(
+            raw["caf_window"], str) else raw["caf_window"]
+    c = RadarConfig(**raw)
+
+    # CPI length in IF samples: power of two (reference config.py:15).
+    cpi_samples = nextpow2(c.channel_bandwidth * c.cpi_seconds_nominal)
+
+    # Desired IF rate so that cpi_samples spans cpi_seconds_nominal.
+    desired_if = cpi_samples / c.cpi_seconds_nominal
+
+    # Rational resampling factor: nearest fraction with denominator <= 20
+    # (reference config.py:24-34). Note: constructed from the *float* ratio,
+    # exactly as the reference does, so we reproduce its rounding.
+    desired_ratio = fractions.Fraction(c.input_sample_rate / desired_if)
+    ratio = desired_ratio.limit_denominator(20)
+    resamp_up = ratio.denominator
+    resamp_dn = ratio.numerator
+    if_rate = c.input_sample_rate * resamp_up / resamp_dn
+
+    cpi_actual = cpi_samples * float(ratio) / c.input_sample_rate
+    doppler_cell_width = 1.0 / cpi_actual
+    range_cell_width = 2.998e5 / if_rate
+    num_range_cells = round(c.max_range_nominal / range_cell_width)
+    max_range_actual = num_range_cells * range_cell_width
+    num_doppler_cells = nearestpow2(2 * c.max_doppler_nominal * cpi_actual)
+    max_doppler_actual = num_doppler_cells / (2 * cpi_actual)
+    offset_freq = c.input_center_freq - c.channel_freq
+
+    if c.overlap_cpi:
+        input_chunk_length = int(math.floor(cpi_samples * resamp_dn / resamp_up))
+        if input_chunk_length % 2 != 0:
+            input_chunk_length -= 1
+        output_chunk_length = cpi_samples // 2
+        window_overlap = cpi_samples // 4
+        frame_interval = cpi_actual / 2
+    else:
+        # Fixed relative to the reference (its non-overlap branch crashes on an
+        # undefined key, reference config.py:77): a frame consumes a full CPI.
+        input_chunk_length = int(
+            math.floor(cpi_samples * resamp_dn / resamp_up)) * 2
+        if input_chunk_length % 2 != 0:
+            input_chunk_length -= 1
+        output_chunk_length = cpi_samples
+        window_overlap = 0
+        frame_interval = cpi_actual
+
+    return dataclasses.replace(
+        c,
+        cpi_samples=cpi_samples,
+        desired_IF_sample_rate=desired_if,
+        resamp_up=resamp_up,
+        resamp_dn=resamp_dn,
+        IF_sample_rate=if_rate,
+        cpi_seconds_actual=cpi_actual,
+        doppler_cell_width=doppler_cell_width,
+        range_cell_width=range_cell_width,
+        num_range_cells=num_range_cells,
+        max_range_actual=max_range_actual,
+        num_doppler_cells=num_doppler_cells,
+        max_doppler_actual=max_doppler_actual,
+        offset_freq=offset_freq,
+        input_chunk_length=input_chunk_length,
+        output_chunk_length=output_chunk_length,
+        window_overlap=window_overlap,
+        frame_interval=frame_interval,
+        range_doppler_map_fname=(
+            c.output_fname + "." + c.range_doppler_map_ftype),
+        meta_fname=c.output_fname + ".npz",
+    )
+
+
+def load_config(path: str) -> RadarConfig:
+    """Load a YAML configuration file and derive all processing parameters.
+
+    Accepts the reference's YAML schema (PRconfig.yaml:1-44) unchanged.
+    """
+    with open(path, "r") as f:
+        params = yaml.safe_load(f)
+    return derive_config(params)

@@ -1,0 +1,92 @@
+"""FFT-domain cross-correlation and channel time-offset estimation.
+
+Replaces the reference's scipy.signal.correlate calls (signal_utils.py:29-32,
+73-78) with a single batched FFT formulation; the 10M-lag one-shot offset
+search in particular becomes three large power-of-two FFTs on device.
+
+Lag convention (matches the reference's ``xcorr(s1, s2, nlead, nlag)``, which
+is ``correlate(s1, pad(s2, (nlag, nlead)), 'valid')``):
+
+    out[j] = sum_t s1[t] * conj(s2[t - (j - nlead)]),   j = 0 .. nlag+nlead
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from passiveradar_tpu.ops.fir import fir_decimate
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("nlead", "nlag"))
+def xcorr(s1: jnp.ndarray, s2: jnp.ndarray, nlead: int, nlag: int) -> jnp.ndarray:
+    """Cross-correlate s1 against delayed copies of s2 (see module docstring)."""
+    n = s1.shape[0]
+    fft_len = _next_pow2(n + max(nlag, nlead) + 1)
+    f1 = jnp.fft.fft(s1, fft_len)
+    f2 = jnp.fft.fft(s2, fft_len)
+    full = jnp.fft.ifft(f1 * jnp.conj(f2))
+    # lag λ = j - nlead lives at circular index λ mod fft_len
+    idx = np.mod(np.arange(-nlead, nlag + 1), fft_len)
+    out = full[jnp.asarray(idx)]
+    if jnp.iscomplexobj(s1) or jnp.iscomplexobj(s2):
+        return out.astype(jnp.complex64)
+    return jnp.real(out).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("nl",))
+def _offset_lags(b1, b2, nl: int):
+    m = b1.shape[0]
+    fft_len = _next_pow2(m + nl + 1)
+    f1 = jnp.fft.fft(b1, fft_len)
+    f2 = jnp.fft.fft(b2, fft_len)
+    full = jnp.fft.ifft(f1 * jnp.conj(f2))
+    idx = np.mod(np.arange(-nl, nl + 1), fft_len)
+    return jnp.abs(full[jnp.asarray(idx)])
+
+
+def find_channel_offset(s1: jnp.ndarray, s2: jnp.ndarray, nd: int,
+                        nl: int) -> int:
+    """Estimate the constant sample offset between two channels.
+
+    Reference semantics (signal_utils.py:73-78): decimate both channels by
+    ``nd``, take |xcorr| over lags -nl..+nl, return (argmax - nl) * nd.
+    Divergence: for nd > 1 the pre-correlation anti-alias filter is the FIR
+    decimator rather than scipy's default IIR cheby1 — the argmax location is
+    unaffected; for nd == 1 no filtering is applied.
+    """
+    nd = int(nd)
+    if nd > 1:
+        b1 = fir_decimate(s1, nd)
+        b2 = fir_decimate(s2, nd)
+    else:
+        b1, b2 = jnp.asarray(s1), jnp.asarray(s2)
+    nl = int(min(nl, b1.shape[0]))
+    mags = _offset_lags(b1, b2, nl)
+    # out[j] = sum b1[t] conj(b2[t - (j - nl)]): argmax j means b2 lags b1 by
+    # (j - nl) samples, matching the reference's (argmax - nl) * nd.
+    return int(jnp.argmax(mags)) * nd - nl * nd
+
+
+def apply_offset(ref: jnp.ndarray, srv: jnp.ndarray, offset: int):
+    """Trim two channels so they align given ``offset`` = find_channel_offset.
+
+    Matches the slicing in the reference orchestration (main.py:67-72,87-102):
+    positive offset drops the first ``offset`` samples of ref and the last of
+    srv, negative offset the converse.
+    """
+    if offset > 0:
+        return ref[offset:], srv[:-offset]
+    if offset < 0:
+        return ref[:offset], srv[-offset:]
+    return ref, srv

@@ -1,0 +1,90 @@
+"""FIR/resampling kernels vs scipy oracles."""
+
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from passiveradar_tpu.ops.fir import (
+    decimate_taps,
+    fir_decimate,
+    resample_poly,
+    upfirdn,
+)
+
+
+def _rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+
+
+@pytest.mark.parametrize("up,down", [(1, 1), (3, 1), (1, 4), (13, 119), (7, 5)])
+@pytest.mark.parametrize("n", [257, 1024])
+def test_upfirdn_constant_real(rng, up, down, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    h = rng.standard_normal(31)
+    got = np.asarray(upfirdn(h, x, up, down))
+    want = sps.upfirdn(h, x.astype(np.float64), up, down)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 2e-6
+
+
+def test_upfirdn_complex(rng):
+    n = 500
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    h = rng.standard_normal(21)
+    got = np.asarray(upfirdn(h, x, 2, 3))
+    want = sps.upfirdn(h, x.astype(np.complex128), 2, 3)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 2e-6
+
+
+@pytest.mark.parametrize("up,down", [(13, 119), (2, 1), (1, 8), (5, 7)])
+def test_upfirdn_line_mode(rng, up, down):
+    n = 613
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    h = rng.standard_normal(41)
+    got = np.asarray(upfirdn(h, x, up, down, mode="line"))
+    want = sps.upfirdn(h, x.astype(np.complex128), up, down, mode="line")
+    assert got.shape == want.shape
+    assert _rel(got, want) < 3e-6
+
+
+@pytest.mark.parametrize("padtype", ["constant", "line"])
+def test_resample_poly_matches_scipy(rng, padtype):
+    # same factors as the FM pipeline's IF conversion (reference main.py:152)
+    n = 11900
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(resample_poly(x, 13, 119, padtype=padtype))
+    want = sps.resample_poly(x.astype(np.complex128), 13, 119, padtype=padtype)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-4
+
+
+def test_resample_poly_odd_length(rng):
+    x = rng.standard_normal(997).astype(np.float32)
+    got = np.asarray(resample_poly(x, 3, 7, padtype="line"))
+    want = sps.resample_poly(x.astype(np.float64), 3, 7, padtype="line")
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-4
+
+
+@pytest.mark.parametrize("q", [2, 5, 8])
+def test_fir_decimate_matches_scipy(rng, q):
+    n = 2048
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(fir_decimate(x, q))
+    want = sps.decimate(x, q, 20 * q, ftype="fir")
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-4
+
+
+def test_decimate_with_explicit_taps(rng):
+    # the CAF's all-ones boxcar decimator (reference
+    # range_doppler_processing.py:69-72,86)
+    n, q = 4096, 64
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    taps = np.ones(q + 1)
+    got = np.asarray(decimate_taps(x, taps, q))
+    want = sps.decimate(x, q, ftype=sps.dlti(taps, 1))
+    assert got.shape == want.shape
+    assert _rel(got, want) < 1e-5
