@@ -1,0 +1,181 @@
+"""Cross-ambiguity function (CAF) → range-Doppler maps.
+
+This is the framework's hot kernel, re-derived for TPU rather than translated.
+
+The reference computes, per CPI frame (range_doppler_processing.py:12-90):
+for each range lag ℓ ∈ [-R..0], the windowed product
+``roll(conj(srv), ℓ) * ref * w`` is FIR-decimated by ``ndecim = N/nf`` with an
+all-ones (ndecim+1)-tap zero-phase filter, the first ``nf`` samples kept, and
+finally an FFT over the Doppler axis — ≈ 4.7e10 MAC per frame for the FM
+configuration, which is where essentially all of its "20 minutes" goes.
+
+Re-derivation (verified exact vs the reference math to float32 round-off):
+the zero-phase boxcar decimator at stride ``ndecim`` makes output sample m the
+*centred (ndecim+1)-window sum* of the lag product around t = m*ndecim, i.e.
+
+    xambg[m, k] = Σ_{t = m·d - d/2}^{m·d + d/2} w[t]·ref[t]·conj(srv[t+R-k])
+
+(zero for t < 0, circular in srv). Splitting each window into a d-sample
+segment plus one boundary sample, the per-segment sums over all lags become a
+*linear cross-correlation of each (w·ref) segment against a (d+R)-sample srv
+segment* — computed for all 1024 segments at once with three batched
+power-of-two FFTs. Total cost drops from O(N·d·R) to O(N log d): ~1e8 FLOP
+instead of ~1e11 per frame, in MXU/FFT-friendly batched form with no
+materialised (lag × time) product matrix (HBM traffic stays O(N)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as _spsignal
+
+from passiveradar_tpu.ops.fir import decimate_taps, design_lowpass
+from passiveradar_tpu.ops.xcorr import xcorr
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def resolve_window(window, n: int):
+    """Resolve a window spec (None | str | tuple | array) to a host array."""
+    if window is None:
+        return None
+    if isinstance(window, (str, tuple)):
+        return _spsignal.get_window(window, n).astype(np.float32)
+    return np.asarray(window, dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("range_bins", "freq_bins"))
+def _fast_xambg_seg(ref, srv, window, range_bins: int, freq_bins: int):
+    """Segment-FFT CAF core. ref/srv: (N,) complex64; window: (N,) or None."""
+    n = ref.shape[0]
+    nf = freq_bins
+    r = range_bins
+    d = n // nf          # decimation factor
+    half = d // 2
+    # number of extra d-rows needed so a segment window of d+R fits
+    n_extra = -(-r // d) + 1
+
+    a = ref if window is None else ref * window.astype(ref.dtype)
+
+    # a_pad[u] = a[u - half], zero outside; enough d-rows that segment windows
+    # starting from row 1 still span n_extra+1 rows
+    rows = nf + n_extra + 1
+    a_pad = jnp.concatenate([jnp.zeros(half, a.dtype), a])
+    a_pad = jnp.pad(a_pad, (0, rows * d - a_pad.shape[0]))
+    A = a_pad.reshape(rows, d)
+
+    # sext[u] = conj(srv[(u - half) mod n]) — circular, matching np.roll
+    idx = np.mod(np.arange(rows * d) - half, n)
+    sext = jnp.conj(srv)[jnp.asarray(idx)]
+    P = sext.reshape(rows, d)
+
+    def windows_from(start_row: int, width: int):
+        parts = [P[start_row + i:start_row + i + nf] for i in range(n_extra + 1)]
+        return jnp.concatenate(parts, axis=1)[:, :width]
+
+    # segment correlation: c[m, s] = Σ_i A[m, i] * S[m, i+s],  s = 0..R
+    S = windows_from(0, d + r)
+    fft_len = _next_pow2(d + r + 1)
+    fs_ = jnp.fft.fft(S, fft_len, axis=1)
+    fa_ = jnp.fft.fft(jnp.conj(A[:nf]), fft_len, axis=1)
+    c = jnp.fft.ifft(fs_ * jnp.conj(fa_), axis=1)[:, :r + 1]
+
+    # boundary sample of each centred window: a[(m+1)d - half] * sext[(m+1)d + s]
+    term = A[1:nf + 1, 0:1] * windows_from(1, r + 1)
+
+    pre = c + term                      # [m, shift] with shift = R - k
+    pre = pre[:, ::-1]                  # → [m, k], k = 0..R (lag -R..0)
+
+    out = jnp.fft.fftshift(jnp.fft.fft(pre, axis=0), axes=0)
+    return out.astype(jnp.complex64)
+
+
+def _fast_xambg_general(ref, srv, window, dtaps: np.ndarray, range_bins: int,
+                        freq_bins: int):
+    """General-taps CAF path (reference shortFilt=False / flattop mode).
+
+    Lags are processed sequentially (lax.map) so memory stays O(N); each lag
+    reuses the zero-phase decimation primitive, which matches
+    scipy.signal.decimate(..., ftype=dlti(dtaps, 1)).
+    """
+    n = ref.shape[0]
+    d = n // freq_bins
+    srv_conj = jnp.conj(srv)
+    a = ref if window is None else ref * window.astype(ref.dtype)
+
+    def one_lag(k):
+        lag = k - range_bins  # lag ∈ [-R .. 0]
+        prod = jnp.roll(srv_conj, lag) * a
+        return decimate_taps(prod, dtaps, d)[:freq_bins]
+
+    rows = jax.lax.map(one_lag, jnp.arange(range_bins + 1))  # (R+1, nf)
+    out = jnp.fft.fftshift(jnp.fft.fft(rows.T, axis=0), axes=0)
+    return out.astype(jnp.complex64)
+
+
+def fast_xambg(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
+               freq_bins: int, input_len: int | None = None, window=None,
+               short_filt: bool = True) -> jnp.ndarray:
+    """Fast cross-ambiguity surface.
+
+    Matches the reference ``fast_xambg`` (range_doppler_processing.py:12-90)
+    output to float32 round-off, returning (freq_bins, range_bins+1) — the
+    caller stacks frames (the reference's trailing singleton axis is a dask
+    artefact).
+
+    short_filt=True uses the all-ones (d+1)-tap Doppler decimator via the
+    segment-FFT fast path; short_filt=False uses the 10·d+1-tap flattop
+    design through the general decimation path.
+    """
+    ref = jnp.asarray(ref)
+    srv = jnp.asarray(srv)
+    if input_len is not None and ref.shape[0] != input_len:
+        pad = input_len - ref.shape[0]
+        ref = jnp.pad(ref, (0, pad))
+        srv = jnp.pad(srv, (0, pad))
+    n = ref.shape[0]
+    if n % freq_bins:
+        raise ValueError(f"input length {n} not divisible by freq_bins {freq_bins}")
+    d = n // freq_bins
+    win = resolve_window(window, n)
+    win_j = None if win is None else jnp.asarray(win)
+
+    if short_filt:
+        if d % 2:
+            raise ValueError("segment CAF path requires an even decimation factor")
+        return _fast_xambg_seg(ref, srv, win_j, int(range_bins), int(freq_bins))
+    dtaps = design_lowpass(10 * d + 1, 1.0 / d, "flattop")
+    return _fast_xambg_general(ref, srv, win_j, dtaps,
+                               int(range_bins), int(freq_bins))
+
+
+def direct_xambg(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
+                 freq_bins: int, sample_rate: float) -> jnp.ndarray:
+    """Direct (time-domain) CAF — the validation oracle for fast_xambg.
+
+    Reference semantics (range_doppler_processing.py:93-124): row i is the
+    ±range_bins-lag cross-correlation of the reference channel frequency-
+    shifted by (i - nf/2)/CPI against the surveillance channel.
+    """
+    ref = jnp.asarray(ref)
+    srv = jnp.asarray(srv)
+    n = ref.shape[0]
+    cpi = n / float(sample_rate)
+    t = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
+
+    def one_bin(i):
+        df = (i - 0.5 * freq_bins) / cpi
+        shifted = ref * jnp.exp(1j * 2 * np.pi * df.astype(jnp.float32) * t)
+        return xcorr(shifted, srv, range_bins, 0)
+
+    rows = jax.lax.map(one_bin, jnp.arange(freq_bins, dtype=jnp.float32))
+    return rows.astype(jnp.complex64)
