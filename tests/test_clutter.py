@@ -1,0 +1,215 @@
+"""Clutter cancellation filters vs scipy/numpy oracles.
+
+Each oracle implements the reference's published math (clutter_removal.py)
+directly with scipy/numpy so our FFT-domain reformulations are checked
+against the original linear-algebra formulations.
+"""
+
+import numpy as np
+import pytest
+from scipy import signal as sps
+from scipy.linalg import solve_toeplitz
+
+from passiveradar_tpu.ops.clutter import (
+    gal_jpe,
+    ls_filter,
+    ls_filter_multiple,
+    ls_filter_svd,
+    ls_filter_toeplitz,
+    nlms_filter,
+    toeplitz_solve,
+)
+
+
+def _cnoise(rng, n, dtype=np.complex64):
+    return (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(dtype)
+
+
+def _xcorr_ref(s1, s2, nlead, nlag):
+    return sps.correlate(s1, np.pad(s2, (nlag, nlead)), mode="valid")
+
+
+def toeplitz_oracle(ref, srv, filter_len, peek=10):
+    ref = ref.astype(np.complex128)
+    srv = srv.astype(np.complex128)
+    rs = np.roll(ref, -peek)
+    ac = _xcorr_ref(rs, rs, 0, filter_len + peek - 1)
+    cc = _xcorr_ref(srv, rs, 0, filter_len + peek - 1)
+    taps = solve_toeplitz(ac, cc)
+    clutter = np.convolve(rs, taps, mode="full")[:len(srv)]
+    return srv - clutter, taps
+
+
+def lag_matrix(ref, filter_len, peek):
+    lags = np.arange(-peek, filter_len)
+    a = np.zeros((len(ref), filter_len + peek), dtype=np.complex128)
+    for k, lag in enumerate(lags):
+        a[:, k] = np.roll(ref, lag)
+    return a
+
+
+def test_toeplitz_solve_matches_scipy(rng):
+    m = 32
+    c = _cnoise(rng, m, np.complex128)
+    c[0] = np.abs(c[0]) + m  # diagonally dominant → well-conditioned
+    b = _cnoise(rng, m, np.complex128)
+    got = np.asarray(toeplitz_solve(c.astype(np.complex64), b.astype(np.complex64)))
+    want = solve_toeplitz(c, b)
+    assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+
+
+def test_ls_filter_toeplitz_matches_oracle(rng):
+    n, flen = 4096, 24
+    ref = _cnoise(rng, n)
+    srv = (0.8 * np.roll(ref, 3) + 0.1 * _cnoise(rng, n)).astype(np.complex64)
+    got = np.asarray(ls_filter_toeplitz(ref, srv, flen))
+    want, _ = toeplitz_oracle(ref, srv, flen)
+    assert np.max(np.abs(got - want)) < 2e-3 * np.max(np.abs(srv))
+
+
+def test_ls_filter_toeplitz_suppresses_direct_path(rng):
+    n, flen = 8192, 32
+    ref = _cnoise(rng, n)
+    clutter = 1.0 * np.roll(ref, 2) + 0.5 * np.roll(ref, 7)
+    srv = (clutter + 0.001 * _cnoise(rng, n)).astype(np.complex64)
+    out = np.asarray(ls_filter_toeplitz(ref, srv, flen))
+    # interior samples (edge transients excluded) must drop by > 30 dB
+    sl = slice(flen + 16, n - flen - 16)
+    supp = 10 * np.log10(np.mean(np.abs(out[sl]) ** 2)
+                         / np.mean(np.abs(srv[sl]) ** 2))
+    assert supp < -30
+
+
+def test_ls_filter_multiple_matches_sequential_oracle(rng):
+    n, flen = 4096, 16
+    fs = 4096.0
+    ref = _cnoise(rng, n)
+    srv = (np.roll(ref, 2) + 0.05 * _cnoise(rng, n)).astype(np.complex64)
+    got = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1)))
+
+    cur = srv.astype(np.complex128)
+    t = np.arange(n) / fs
+    for dop in (0, 1, -1):
+        r = ref.astype(np.complex128)
+        if dop:
+            r = r * np.exp(1j * 2 * np.pi * dop * t)
+        cur, _ = toeplitz_oracle(r.astype(np.complex64), cur.astype(np.complex64), flen)
+    assert np.max(np.abs(got - cur)) < 5e-3 * np.max(np.abs(srv))
+
+
+def test_ls_filter_direct_matches_roll_matrix_oracle(rng):
+    n, flen, peek, reg = 512, 12, 4, 1.0
+    ref = _cnoise(rng, n)
+    srv = (np.roll(ref, 3) + 0.1 * _cnoise(rng, n)).astype(np.complex64)
+    got = np.asarray(ls_filter(ref, srv, flen, reg=reg, peek=peek))
+    a = lag_matrix(ref.astype(np.complex128), flen, peek)
+    ata = a.conj().T @ a
+    taps = np.linalg.solve(ata + reg * np.eye(ata.shape[0]),
+                           a.conj().T @ srv.astype(np.complex128))
+    want = srv - a @ taps
+    assert np.max(np.abs(got - want)) < 2e-3 * np.max(np.abs(srv))
+
+
+def test_ls_filter_svd_matches_pinv_oracle(rng):
+    n, flen, peek = 512, 10, 3
+    ref = _cnoise(rng, n)
+    srv = (np.roll(ref, 1) + 0.2 * _cnoise(rng, n)).astype(np.complex64)
+    got = np.asarray(ls_filter_svd(ref, srv, flen, peek=peek))
+    a = lag_matrix(ref.astype(np.complex128), flen, peek)
+    u, s, vh = np.linalg.svd(a, full_matrices=False)
+    sinv = np.where(s < 1e-10, 0.0, 1.0 / s)
+    taps = vh.conj().T @ np.diag(sinv) @ u.conj().T @ srv.astype(np.complex128)
+    want = srv - a @ taps
+    assert np.max(np.abs(got - want)) < 5e-3 * np.max(np.abs(srv))
+
+
+def nlms_oracle(ref, srv, filter_len, mu, peek=10):
+    ref = ref.astype(np.complex128)
+    srv = srv.astype(np.complex128)
+    m = filter_len + peek
+    w = np.zeros(m, dtype=np.complex128)
+    out = np.zeros(len(srv), dtype=np.complex128)
+    u = np.flip(ref[0:m])
+    for k in range(len(srv) - m):
+        u = np.append(ref[m + k], u[:-1])
+        e = srv[k + filter_len] - w.conj().T @ u
+        w = w + mu * u * np.conj(e) / (u.conj().T @ u)
+        out[filter_len + k] = e
+    return out, w
+
+
+def test_nlms_matches_per_sample_oracle(rng):
+    n, flen, mu = 600, 12, 0.05
+    ref = _cnoise(rng, n)
+    srv = (0.5 * np.roll(ref, 2) + 0.1 * _cnoise(rng, n)).astype(np.complex64)
+    got, taps = nlms_filter(ref, srv, flen, mu, return_filter=True)
+    want, wtaps = nlms_oracle(ref, srv, flen, mu)
+    assert np.max(np.abs(np.asarray(got) - want)) < 1e-3 * np.max(np.abs(srv))
+    assert np.max(np.abs(np.asarray(taps) - wtaps)) < 1e-3
+
+
+def test_nlms_converges_on_stationary_clutter(rng):
+    n, flen, mu = 20000, 8, 0.1
+    ref = _cnoise(rng, n)
+    srv = (0.9 * np.roll(ref, 1)).astype(np.complex64)
+    out = np.asarray(nlms_filter(ref, srv, flen, mu, peek=2))
+    tail = out[-4000:]
+    head = srv[-4000:]
+    supp = 10 * np.log10(np.mean(np.abs(tail) ** 2)
+                         / np.mean(np.abs(head) ** 2))
+    assert supp < -25
+
+
+def test_nlms_warm_start(rng):
+    n, flen, mu, peek = 400, 6, 0.05, 3
+    ref = _cnoise(rng, n)
+    srv = _cnoise(rng, n)
+    _, taps = nlms_filter(ref, srv, flen, mu, peek=peek, return_filter=True)
+    out2 = np.asarray(nlms_filter(ref, srv, flen, mu, peek=peek,
+                                  initial_taps=np.asarray(taps)))
+    assert out2.shape == (n,)
+
+
+def gal_oracle_real(ref, srv, lattice_len, delay_line_len, mu1, mu2, peek=10):
+    """Reference GAL-JPE semantics for real float signals."""
+    n = len(ref)
+    dl = delay_line_len
+    f = np.zeros(dl)
+    b = np.zeros(dl)
+    k = np.zeros(dl)
+    p = np.zeros(dl) + 1e-8
+    h = np.zeros(dl)
+    beta, gamma, delta = 0.9, 0.999, 1e-8
+    out = np.zeros(n)
+    for t in range(n - peek - 1):
+        bo = b.copy()
+        f[0] = ref[t + peek]
+        b[0] = ref[t + peek]
+        for m in range(1, lattice_len):
+            f[m] = f[m - 1] - k[m] * bo[m - 1]
+            b[m] = bo[m - 1] - k[m] * f[m - 1]
+        for m in range(1, lattice_len):
+            em = f[m - 1] ** 2 + bo[m - 1] ** 2
+            p[m - 1] = beta * p[m - 1] + (1 - beta ** 2) * em
+            grad = f[m - 1] * b[m] + bo[m - 1] * f[m]
+            k[m] = k[m] + mu1 * grad / (p[m - 1] + 1e-10)
+        if lattice_len < dl:
+            b[lattice_len:] = bo[lattice_len - 1:-1]
+        e = srv[t] - h @ b
+        h = h + mu2 * e * b / (b @ b + 1e-10)
+        out[t] = e
+        mu1 = min(gamma * mu1 + delta * e ** 2, 5e-3)
+    return out
+
+
+@pytest.mark.parametrize("lattice,delay", [(6, 6), (4, 8)])
+def test_gal_jpe_matches_real_oracle(rng, lattice, delay):
+    n = 400
+    ref = rng.standard_normal(n).astype(np.float32)
+    srv = (0.5 * np.roll(ref, 1) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    got = np.asarray(gal_jpe(ref.astype(np.complex64), srv.astype(np.complex64),
+                             lattice, delay, 1e-3, 1e-2))
+    want = gal_oracle_real(ref.astype(np.float64), srv.astype(np.float64),
+                           lattice, delay, 1e-3, 1e-2)
+    assert np.max(np.abs(np.real(got) - want)) < 1e-2
+    assert np.max(np.abs(np.imag(got))) < 1e-4
