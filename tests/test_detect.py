@@ -1,0 +1,227 @@
+"""Detection & tracking: CFAR, Kalman, measurements, trackers, persistence."""
+
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from passiveradar_tpu.detect.kalman import (
+    adaptive_kalman_update,
+    default_kalman_state,
+    kalman_extrapolate,
+    kalman_update,
+)
+from passiveradar_tpu.detect.measurements import get_measurements
+from passiveradar_tpu.detect.trackers import (
+    multitarget_tracker,
+    simple_target_tracker,
+)
+from passiveradar_tpu.ops.cfar import cfar_2d, cfar_kernel
+from passiveradar_tpu.viz.persistence import persistence, persistence_stack
+
+
+# ---------------------------------------------------------------- CFAR
+
+def cfar_oracle(x, fw, gw):
+    t = cfar_kernel(fw, gw)
+    norm = x / np.mean(np.abs(x))
+    return norm / (sps.convolve2d(x, t, mode="same", boundary="wrap") + 1e-10)
+
+
+@pytest.mark.parametrize("fw,gw", [(18, 4), (9, 3)])
+def test_cfar_matches_scipy(rng, fw, gw):
+    x = rng.random((64, 40)).astype(np.float32) + 0.1
+    got = np.asarray(cfar_2d(x, fw, gw))
+    want = cfar_oracle(x.astype(np.float64), fw, gw)
+    assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+
+
+def test_cfar_batched_equals_per_frame(rng):
+    x = rng.random((3, 32, 24)).astype(np.float32) + 0.1
+    got = np.asarray(cfar_2d(x, 9, 3))
+    for i in range(3):
+        single = np.asarray(cfar_2d(x[i], 9, 3))
+        assert np.allclose(got[i], single, rtol=1e-5, atol=1e-5)
+
+
+def test_cfar_threshold_mode(rng):
+    x = rng.random((32, 24)).astype(np.float32) + 0.1
+    m = np.asarray(cfar_2d(x, 9, 3, thresh=2.0))
+    assert m.dtype == bool
+
+
+def test_cfar_detects_bright_point(rng):
+    x = (rng.random((64, 48)) * 0.1 + 1.0).astype(np.float32)
+    x[30, 20] = 50.0
+    cr = np.asarray(cfar_2d(x, 18, 4))
+    assert np.unravel_index(np.argmax(cr), cr.shape) == (30, 20)
+
+
+# ---------------------------------------------------------------- Kalman
+
+def kalman_oracle(meas, st, r_scale=1.0):
+    x, p = st["x"], st["P"]
+    f1, f2, q, h, r = st["F1"], st["P"] * 0, st["Q"], st["H"], st["R"]
+    f2 = st["F2"]
+    x = f1 @ x
+    p = f2 @ p @ f2.T + q
+    s = h @ p @ h.T + r * r_scale
+    k = p @ h.T @ np.linalg.inv(s)
+    x = x + k @ (meas - h @ x)
+    p = (np.eye(4) - k @ h) @ p
+    return h @ x, x, p, s
+
+
+def _np_state(st):
+    return {k: np.asarray(v, np.float64) for k, v in st.items()}
+
+
+def test_kalman_update_matches_oracle():
+    st = default_kalman_state(10.0, -5.0)
+    meas = np.array([11.0, -4.0], np.float32)
+    est, new = kalman_update(meas, st)
+    oest, ox, op, os_ = kalman_oracle(meas.astype(np.float64), _np_state(st))
+    assert np.allclose(np.asarray(est), oest, atol=1e-3)
+    assert np.allclose(np.asarray(new["x"]), ox, atol=1e-3)
+    assert np.allclose(np.asarray(new["P"]), op, atol=1e-3)
+    assert np.allclose(np.asarray(new["S"]), os_, atol=1e-3)
+
+
+def test_adaptive_kalman_update_matches_oracle():
+    st = default_kalman_state(10.0, -5.0)
+    meas = np.array([12.0, -6.0], np.float32)
+    last = np.array([10.0, -5.0], np.float32)
+    est, new = adaptive_kalman_update(meas, last, st)
+    d = meas - last
+    oest, ox, op, os_ = kalman_oracle(meas.astype(np.float64), _np_state(st),
+                                      r_scale=float(d[0] ** 2 + d[1] ** 2))
+    assert np.allclose(np.asarray(est), oest, atol=1e-3)
+    assert np.allclose(np.asarray(new["P"]), op, atol=1e-3)
+
+
+def test_kalman_extrapolate_advances_state():
+    st = default_kalman_state(10.0, -5.0)
+    est, new = kalman_extrapolate(st)
+    x = np.asarray(st["F1"]) @ np.asarray(st["x"])
+    assert np.allclose(np.asarray(est), np.asarray(st["H"]) @ x, atol=1e-5)
+
+
+# ------------------------------------------------------- measurements
+
+def _frame_with_target(rng, nf, nr, r_km, d_hz, d_ext, r_ext, amp=60.0):
+    """Raw pipeline-orientation frame with a synthetic target."""
+    x = (rng.random((nf, nr)) * 0.2 + 1.0).astype(np.float32)
+    k = int(round((1 - r_km / r_ext) * (nr - 1)))
+    j = int(round((d_hz + d_ext) / (2 * d_ext) * (nf - 1)))
+    x[nf - 1 - j, k] = amp
+    return x
+
+
+def test_get_measurements_finds_target(rng):
+    nf, nr = 64, 40
+    d_ext, r_ext = 32.0, 100.0
+    x = _frame_with_target(rng, nf, nr, 42.0, 10.0, d_ext, r_ext)
+    cand, valid = get_measurements(x, (d_ext, r_ext), k_max=64)
+    cand = np.asarray(cand)
+    assert bool(np.asarray(valid)[0])
+    # strongest candidate is the target, within a bin of truth
+    assert abs(cand[0, 0] - 42.0) < r_ext / (nr - 1) + 1e-3
+    assert abs(cand[1, 0] - 10.0) < 2 * d_ext / (nf - 1) + 1e-3
+
+
+def test_get_measurements_zeroes_clutter_regions(rng):
+    nf, nr = 64, 40
+    x = (rng.random((nf, nr)) * 0.1 + 1.0).astype(np.float32)
+    x[nf // 2, :] = 100.0   # zero-Doppler ridge must be suppressed
+    x[:, nr - 1] = 100.0    # short-range rows land in the 8-row edge zone
+    cand, valid = get_measurements(x, (32.0, 100.0), k_max=32)
+    cand, valid = np.asarray(cand), np.asarray(valid)
+    assert not np.any(cand[2][valid] >= 99.0)
+
+
+# ----------------------------------------------------------- trackers
+
+def test_multitarget_tracker_confirms_and_follows(rng):
+    nf, nr, n_frames = 64, 40, 30
+    d_ext, r_ext = 32.0, 100.0
+    frames = np.zeros((n_frames, nf, nr), np.float32)
+    truth = []
+    for t in range(n_frames):
+        r = 60.0 - 0.5 * t
+        d = 8.0
+        frames[t] = _frame_with_target(rng, nf, nr, r, d, d_ext, r_ext)
+        truth.append((r, d))
+    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=5, k_max=64)
+    status = np.asarray(hist["status"])          # (F, N)
+    est = np.asarray(hist["estimate"])           # (F, N, 2)
+    assert np.any(status[-1] == 2), "no confirmed track at the end"
+    ti = int(np.argmax(status[-1] == 2))
+    r_true, d_true = truth[-1]
+    assert abs(est[-1, ti, 0] - r_true) < 8.0
+    assert abs(est[-1, ti, 1] - d_true) < 6.0
+
+
+def test_multitarget_tracker_two_targets(rng):
+    nf, nr, n_frames = 64, 40, 25
+    d_ext, r_ext = 32.0, 100.0
+    frames = np.zeros((n_frames, nf, nr), np.float32)
+    for t in range(n_frames):
+        f = _frame_with_target(rng, nf, nr, 70.0, 12.0, d_ext, r_ext)
+        f2 = _frame_with_target(rng, nf, nr, 30.0, -15.0, d_ext, r_ext)
+        frames[t] = np.maximum(f, f2)
+    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=6, k_max=64)
+    status = np.asarray(hist["status"])
+    est = np.asarray(hist["estimate"])
+    confirmed = np.where(status[-1] == 2)[0]
+    assert len(confirmed) >= 2
+    ranges = sorted(est[-1, confirmed, 0])
+    assert any(abs(r - 30.0) < 8 for r in ranges)
+    assert any(abs(r - 70.0) < 8 for r in ranges)
+
+
+def test_multitarget_tracker_accepts_reference_layout(rng):
+    nf, nr, n_frames = 64, 40, 6
+    frames = rng.random((nf, nr, n_frames)).astype(np.float32)
+    hist = multitarget_tracker(frames, (32.0, 100.0), n_tracks=3, k_max=32)
+    assert np.asarray(hist["status"]).shape == (n_frames, 3)
+
+
+def test_simple_tracker_locks_onto_target(rng):
+    nf, nr, n_frames = 64, 48, 30
+    d_ext, r_ext = 32.0, 100.0
+    frames = np.zeros((n_frames, nf, nr), np.float32)
+    for t in range(n_frames):
+        frames[t] = _frame_with_target(rng, nf, nr, 50.0, 6.0, d_ext, r_ext,
+                                       amp=100.0)
+    hist = simple_target_tracker(frames, r_ext, d_ext)
+    lock = np.asarray(hist["lock_mode"])       # (F, 4)
+    meas = np.asarray(hist["measurement"])     # (F, 2)
+    assert lock[-1, 2] == 1, "tracker failed to reach the locked state"
+    assert abs(meas[-1, 0] - 50.0) < 5.0
+    assert abs(meas[-1, 1] - 6.0) < 3.0
+
+
+# -------------------------------------------------------- persistence
+
+def persistence_oracle(x, k, hold, decay):
+    frame = np.zeros((x.shape[0], x.shape[1]))
+    n = min(k + 1, hold)
+    for i in range(n):
+        if k - i >= 0:
+            frame = frame + x[:, :, k - i] * decay ** i
+    return frame
+
+
+def test_persistence_matches_oracle(rng):
+    x = rng.random((8, 6, 12)).astype(np.float32)
+    for k in [0, 3, 11]:
+        got = np.asarray(persistence(x, k, hold=5, decay=0.9))
+        want = persistence_oracle(x, k, 5, 0.9)
+        assert np.allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_persistence_stack_matches_single(rng):
+    x = rng.random((8, 6, 12)).astype(np.float32)
+    stack = np.asarray(persistence_stack(np.moveaxis(x, 2, 0), hold=5, decay=0.9))
+    for k in range(12):
+        want = persistence_oracle(x, k, 5, 0.9)
+        assert np.allclose(stack[k], want, rtol=1e-5, atol=1e-6)
