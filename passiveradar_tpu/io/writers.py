@@ -1,0 +1,87 @@
+"""Range-Doppler map persistence and metadata.
+
+Keeps the reference's file contract (main.py:200-227): a frame stack of shape
+(num_doppler_cells, num_range_cells+1, num_frames) complex64 under '/xambg'
+in HDF5 (or a zarr array when zarr is installed), plus an .npz with
+frame_timestamps / range_bins / doppler_bins axes.
+
+Divergence (documented): the reference writes a doppler_bins axis with twice
+the frame's Doppler rows (main.py:202-203, a factor-of-2 metadata bug); we
+write the correct length-num_doppler_cells axis centred on zero.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import h5py
+import numpy as np
+
+from passiveradar_tpu.config import RadarConfig
+
+_HAS_ZARR = importlib.util.find_spec("zarr") is not None
+
+
+def write_metadata(cfg: RadarConfig, num_frames: int, path: str | None = None):
+    path = path or cfg.meta_fname
+    nf = cfg.num_doppler_cells
+    np.savez(
+        path,
+        frame_timestamps=np.arange(num_frames) * cfg.frame_interval,
+        range_bins=np.arange(cfg.num_range_cells + 1) * cfg.range_cell_width,
+        doppler_bins=(np.arange(nf) - nf // 2) * cfg.doppler_cell_width,
+    )
+
+
+class MapWriter:
+    """Incremental frame-stack writer (frames arrive batch-by-batch)."""
+
+    def __init__(self, cfg: RadarConfig, num_frames: int,
+                 path: str | None = None):
+        self.cfg = cfg
+        self.num_frames = num_frames
+        self.path = path or cfg.range_doppler_map_fname
+        shape = (cfg.num_doppler_cells, cfg.num_range_cells + 1, num_frames)
+        chunk = (cfg.num_doppler_cells, cfg.num_range_cells + 1, 1)
+        ftype = cfg.range_doppler_map_ftype
+        if ftype == "zarr" and _HAS_ZARR:
+            import zarr
+            self._z = zarr.open(self.path, mode="w", shape=shape,
+                                chunks=chunk, dtype=np.complex64)
+            self._h5 = None
+        else:
+            if ftype == "zarr":
+                # zarr not available in this environment: fall back to hdf5
+                self.path = self.cfg.output_fname + ".hdf5"
+            self._h5 = h5py.File(self.path, "w")
+            self._d = self._h5.create_dataset(
+                "/xambg", shape=shape, dtype=np.complex64, chunks=chunk)
+            self._z = None
+
+    def write(self, frames: np.ndarray, start: int):
+        """frames: (F, num_doppler, num_range+1) batch starting at ``start``."""
+        block = np.moveaxis(np.asarray(frames, np.complex64), 0, 2)
+        if self._z is not None:
+            self._z[:, :, start:start + frames.shape[0]] = block
+        else:
+            self._d[:, :, start:start + frames.shape[0]] = block
+
+    def close(self):
+        if self._h5 is not None:
+            self._h5.close()
+
+
+def load_maps(cfg: RadarConfig, path: str | None = None) -> np.ndarray:
+    """Load |CAF| frame stack the way the post-processing scripts do
+    (reference range_doppler_plot.py:40-48): returns abs(xambg) as
+    (num_doppler, num_range+1, num_frames) float32."""
+    path = path or cfg.range_doppler_map_fname
+    if cfg.range_doppler_map_ftype == "zarr" and _HAS_ZARR:
+        import zarr
+        xambg = np.abs(np.asarray(zarr.open(path, mode="r")))
+    else:
+        if cfg.range_doppler_map_ftype == "zarr":
+            path = cfg.output_fname + ".hdf5"
+        with h5py.File(path, "r") as f:
+            xambg = np.abs(np.asarray(f["/xambg"]))
+    return xambg.astype(np.float32)

@@ -45,12 +45,18 @@ def _next_pow2(n: int) -> int:
 
 
 def resolve_window(window, n: int):
-    """Resolve a window spec (None | str | tuple | array) to a host array."""
+    """Resolve a window spec (None | str | tuple | array) to an array.
+
+    jax arrays/tracers pass through unchanged (so the CAF can be called with
+    a traced window under jit/vmap); specs become host float32 arrays.
+    """
     if window is None:
         return None
     if isinstance(window, (str, tuple)):
         return _spsignal.get_window(window, n).astype(np.float32)
-    return np.asarray(window, dtype=np.float32)
+    if isinstance(window, np.ndarray):
+        return window.astype(np.float32)
+    return window  # jax array or tracer
 
 
 @functools.partial(jax.jit, static_argnames=("range_bins", "freq_bins"))

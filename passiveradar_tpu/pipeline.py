@@ -1,0 +1,152 @@
+"""The end-to-end processing pipeline.
+
+Maps the reference's lazy dask graph (main.py:30-227) onto a single jitted
+XLA program over a batch of CPI frames, sharded along the frame axis:
+
+    raw per-frame chunks (real interleaved IQ)
+      → deinterleave                       (signal_utils.py:19-22)
+      → frequency shift w/ analytic block phases (main.py:122-149)
+      → polyphase resample to IF rate      (main.py:151-166)
+      → multi-Doppler-bin LS clutter removal (main.py:168-176)
+      → 50% CPI-overlap halo exchange      (main.py:178-181)
+      → windowed fast CAF → range-Doppler frames (main.py:183-194)
+
+All stages are pure functions of fixed-shape complex64 arrays, so the whole
+chain fuses under jit; dask's chunk axis becomes the sharded frame axis and
+its `overlap` becomes a neighbour collective (parallel/halo.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from passiveradar_tpu.config import RadarConfig
+from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
+from passiveradar_tpu.ops.clutter import ls_filter_multiple
+from passiveradar_tpu.ops.fir import resample_poly
+from passiveradar_tpu.ops.mixer import block_phase_offsets, frequency_shift
+from passiveradar_tpu.parallel.halo import overlap_frames
+
+
+def _deinterleave_batch(raw: jnp.ndarray) -> jnp.ndarray:
+    """(F, L) real interleaved IQ → (F, L//2) complex64 (L even)."""
+    return (raw[:, 0::2] + 1j * raw[:, 1::2]).astype(jnp.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
+                     cfg: RadarConfig) -> jnp.ndarray:
+    """Deinterleave → down-convert → resample one channel's frame batch.
+
+    raw: (F, input_chunk_length) float32; phases: (F,) per-frame mixing
+    phases from block_phase_offsets. Returns (F, output_chunk_length)
+    complex64 at the IF rate.
+    """
+    iq = _deinterleave_batch(raw)
+    shifted = frequency_shift(iq, cfg.offset_freq, cfg.input_sample_rate,
+                              phases)
+    resampled = jax.vmap(
+        lambda v: resample_poly(v, cfg.resamp_up, cfg.resamp_dn,
+                                padtype="line"))(shifted)
+    # per-chunk resample output may be ±1 sample off output_chunk_length
+    # (the reference papers over this with dask chunk bookkeeping and a
+    # zero-pad guard in fast_xambg); we frame exactly.
+    out_len = cfg.output_chunk_length
+    cur = resampled.shape[1]
+    if cur < out_len:
+        resampled = jnp.pad(resampled, ((0, 0), (0, out_len - cur)))
+    elif cur > out_len:
+        resampled = resampled[:, :out_len]
+    return resampled
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def clutter_batch(ref: jnp.ndarray, srv: jnp.ndarray,
+                  cfg: RadarConfig) -> jnp.ndarray:
+    """Multi-Doppler-bin LS clutter cancellation over a frame batch."""
+    fn = lambda r, s: ls_filter_multiple(
+        r, s, cfg.num_range_cells, cfg.IF_sample_rate,
+        cfg.clutter_doppler_bins)
+    return jax.vmap(fn)(ref, srv)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
+              cfg: RadarConfig) -> jnp.ndarray:
+    """Halo-overlap + windowed CAF over a frame batch.
+
+    ref/srv_clean: (F, output_chunk_length). Returns (F, num_doppler_cells,
+    num_range_cells+1) complex64 range-Doppler frames.
+    """
+    if cfg.window_overlap:
+        ref = overlap_frames(ref, cfg.window_overlap)
+        srv_clean = overlap_frames(srv_clean, cfg.window_overlap)
+    win = resolve_window(cfg.caf_window, cfg.caf_input_samples)
+    win_j = None if win is None else jnp.asarray(win)
+    fn = lambda r, s: fast_xambg(r, s, cfg.num_range_cells,
+                                 cfg.num_doppler_cells, window=win_j)
+    return jax.vmap(fn)(ref, srv_clean)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
+                   phases: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
+    """Full chain for a self-contained batch of frames (halo from within the
+    batch, zero at its edges). raw_*: (F, input_chunk_length) float32."""
+    ref = preprocess_batch(raw_ref, phases, cfg)
+    srv = preprocess_batch(raw_srv, phases, cfg)
+    srv_clean = clutter_batch(ref, srv, cfg)
+    return caf_batch(ref, srv_clean, cfg)
+
+
+def frame_phases(cfg: RadarConfig, frame_indices: Sequence[int]) -> np.ndarray:
+    """Mixing phases for a set of global frame indices (main.py:125-130)."""
+    n = int(np.max(frame_indices)) + 1 if len(frame_indices) else 0
+    all_phases = block_phase_offsets(
+        n, cfg.input_chunk_length // 2, cfg.offset_freq,
+        cfg.input_sample_rate)
+    return all_phases[np.asarray(frame_indices)]
+
+
+def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = None,
+                sharding=None, progress: bool = True):
+    """Host loop: stream a capture through the device pipeline in batches.
+
+    reader: io.hdf5.CaptureReader-like object with ``num_frames`` and
+    ``read_raw_frames(start, count) -> (ref, srv)``.
+    writer: io.writers.MapWriter-like object with ``write(frames, start)``.
+
+    Batches carry a one-frame margin on each side so the CPI-overlap halo at
+    batch boundaries is exact (recomputed edge frames), matching a single
+    whole-capture evaluation.
+    """
+    total = min(reader.num_frames, cfg.num_frames)
+    bf = batch_frames or cfg.frame_batch
+    done = 0
+    while done < total:
+        count = min(bf, total - done)
+        lo = max(0, done - 1)
+        hi = min(total, done + count + 1)
+        ref_raw, srv_raw = reader.read_raw_frames(lo, hi - lo)
+        phases = frame_phases(cfg, list(range(lo, hi)))
+        ref_raw = jnp.asarray(ref_raw)
+        srv_raw = jnp.asarray(srv_raw)
+        if sharding is not None:
+            ref_raw = jax.device_put(ref_raw, sharding)
+            srv_raw = jax.device_put(srv_raw, sharding)
+        maps = process_frames(ref_raw, srv_raw, jnp.asarray(phases), cfg)
+        # margin frames have wrong (batch-local zero) halos unless they are
+        # the true capture edges — drop them.
+        maps = np.asarray(maps)[done - lo:done - lo + count]
+        writer.write(maps, done)
+        done += count
+        if progress:
+            print(f"\r  processed {done}/{total} frames", end="", flush=True)
+    if progress:
+        print()
+    return total
