@@ -1,0 +1,91 @@
+"""Headline benchmark: end-to-end CAF pipeline throughput (frames/s).
+
+Runs the full device pipeline (deinterleave → mix → polyphase resample →
+5-bin LS clutter cancellation → CPI-overlap halo → windowed CAF) at the
+reference's FM-capture geometry: 524288-sample CPIs, 1024×176 range-Doppler
+frames, 2 frames of airtime per second of capture.
+
+Baseline: the reference processes the same geometry at ≈1 frame/s on a
+desktop CPU (reference README.md:24: "about 20 minutes" for 1200 frames —
+see BASELINE.md). vs_baseline is therefore frames_per_second / 1.0.
+
+Prints exactly one JSON line:
+  {"metric": "caf_frames_per_s", "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from passiveradar_tpu.config import derive_config
+    from passiveradar_tpu.io.synthetic import Target, synth_capture_device
+    from passiveradar_tpu.pipeline import frame_phases, process_frames
+
+    params = dict(
+        input_sample_rate=2_400_000,
+        input_center_freq=102_000_000,
+        channel_freq=101_900_000,
+        channel_bandwidth=200_000,
+        cpi_seconds_nominal=2.0,
+        max_doppler_nominal=256.0,
+        max_range_nominal=200.0,
+        overlap_cpi=True,
+        num_frames=10_000,
+    )
+    cfg = derive_config(params)
+    batch = 8
+
+    t0 = time.time()
+    ref, srv = synth_capture_device(
+        cfg, batch, targets=(Target(200, 40.0, 0.05),), seed=1,
+        complex_output=True)
+    ref2, srv2 = synth_capture_device(
+        cfg, batch, targets=(Target(200, 40.0, 0.05),), seed=2,
+        complex_output=True)
+    jax.block_until_ready((ref, srv, ref2, srv2))
+    phases = jnp.asarray(frame_phases(cfg, list(range(batch))))
+    gen_s = time.time() - t0
+    # a tiny on-device reduction chains executions and forces completion —
+    # block_until_ready alone is unreliable through remote-relay backends
+    summ = jax.jit(lambda x, a: a + jnp.sum(jnp.abs(x)))
+
+    # warm-up / compile
+    t0 = time.time()
+    out = process_frames(ref, srv, phases, cfg)
+    float(summ(out, jnp.float32(0.0)))
+    compile_s = time.time() - t0
+
+    # steady state: alternate two input sets, chain through an on-device
+    # accumulator, fetch once at the end
+    reps = 16
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for i in range(reps):
+        out = process_frames(ref if i % 2 else ref2,
+                             srv if i % 2 else srv2, phases, cfg)
+        acc = summ(out, acc)
+    float(acc)
+    elapsed = time.time() - t0
+
+    frames_per_s = reps * batch / elapsed
+    print(json.dumps({
+        "metric": "caf_frames_per_s",
+        "value": round(frames_per_s, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / 1.0, 2),
+    }))
+    print(f"# geometry: {cfg.num_doppler_cells}x{cfg.num_range_cells + 1} "
+          f"maps from {cfg.cpi_samples}-sample CPIs; batch={batch}; "
+          f"gen={gen_s:.1f}s compile={compile_s:.1f}s run={elapsed:.2f}s "
+          f"devices={jax.devices()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

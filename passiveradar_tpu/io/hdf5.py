@@ -85,6 +85,16 @@ class CaptureReader:
                          np.float32).reshape(count, self.frame_len)
         return ref, srv
 
+    def read_iq_frames(self, start: int, count: int):
+        """(count, input_chunk_length//2) complex64 per channel.
+
+        Free reinterpretation of the interleaved float32 stream ([I,Q] pairs
+        are bit-identical to complex64) — the fast ingest path; keeps the
+        stride-2 deinterleave off the device.
+        """
+        ref, srv = self.read_raw_frames(start, count)
+        return ref.view(np.complex64), srv.view(np.complex64)
+
     def close(self):
         self._file.close()
 

@@ -92,6 +92,67 @@ def synth_capture_arrays(cfg: RadarConfig, n_frames: int,
     return interleave(ref), interleave(srv)
 
 
+def synth_capture_device(cfg: RadarConfig, n_frames: int,
+                         targets=(Target(30, 12.0, 0.05),),
+                         direct_gain: float = 0.5,
+                         noise_level: float = 1e-3,
+                         seed: int = 0,
+                         complex_output: bool = False):
+    """Device-side scene generator: same scene model as synth_capture_arrays
+    but computed with jnp on the accelerator and returned as per-frame raw
+    chunk arrays (n_frames, input_chunk_length) float32 per channel.
+
+    Exists because benchmark hosts may have very weak CPUs — generating a
+    multi-GB capture with numpy would dominate the wall clock.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from passiveradar_tpu.ops.mixer import frequency_shift
+
+    half = cfg.input_chunk_length // 2
+    n_complex = half * n_frames
+    fs = float(cfg.input_sample_rate)
+    dev = 0.4 * cfg.channel_bandwidth / 2
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        msg = jax.random.normal(k1, (n_complex + 8,), jnp.float32)
+        c = jnp.cumsum(msg)
+        msg = (c[8:] - c[:-8]) / 8.0                       # 8-tap smoother
+        phase = 2 * np.pi * dev * jnp.cumsum(msg) / fs
+        base = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+        srv = direct_gain * base
+        for tg in targets:
+            echo = jnp.roll(base, tg.delay_samples)
+            echo = frequency_shift(echo, tg.doppler_hz, fs)
+            srv = srv + tg.amplitude * echo
+
+        # place the channel at -offset_freq from capture centre
+        ref = frequency_shift(base, -float(cfg.offset_freq), fs)
+        srv = frequency_shift(srv, -float(cfg.offset_freq), fs)
+        ref = ref + noise_level * jax.lax.complex(
+            jax.random.normal(k2, (n_complex,), jnp.float32),
+            jax.random.normal(k2, (n_complex,), jnp.float32))
+        srv = srv + noise_level * jax.lax.complex(
+            jax.random.normal(k3, (n_complex,), jnp.float32),
+            jax.random.normal(k3, (n_complex,), jnp.float32))
+
+        if complex_output:
+            return (ref.reshape(n_frames, half).astype(jnp.complex64),
+                    srv.reshape(n_frames, half).astype(jnp.complex64))
+
+        def interleave(x):
+            out = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+            return out.reshape(n_frames, cfg.input_chunk_length)
+
+        return interleave(ref), interleave(srv)
+
+    return gen(jax.random.key(seed))
+
+
 def write_synth_capture(path: str, cfg: RadarConfig, n_frames: int,
                         **kwargs) -> None:
     """Write a synthetic capture to HDF5 in the reference's file layout."""

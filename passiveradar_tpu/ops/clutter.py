@@ -118,15 +118,21 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     """Sequential per-Doppler-bin LS passes (reference clutter_removal.py:162-187).
 
     Nonzero bins frequency-shift the reference before filtering; the pipeline
-    uses bins (0, 1, -1, 2, -2) Hz (reference main.py:174).
+    uses bins (0, 1, -1, 2, -2) Hz (reference main.py:174). The passes are a
+    lax.scan over the bin axis so the filter body is compiled once, not once
+    per bin (the per-bin Doppler shifts are at most a few Hz, so the plain
+    float32 phase ramp is exact to ~1e-6 rad).
     """
-    out = srv
-    for doppler in doppler_bins:
-        if doppler == 0:
-            out = ls_filter_toeplitz(ref, out, filter_len)
-        else:
-            ref_mod = frequency_shift(ref, float(doppler), float(sample_rate))
-            out = ls_filter_toeplitz(ref_mod, out, filter_len)
+    n = ref.shape[0]
+    freqs = jnp.asarray(np.asarray(doppler_bins, np.float32))
+    t = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
+
+    def body(cur, f):
+        theta = 2.0 * np.pi * f * t
+        mod = ref * jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        return ls_filter_toeplitz(mod, cur, filter_len), None
+
+    out, _ = jax.lax.scan(body, srv, freqs)
     return out
 
 

@@ -3,9 +3,9 @@
 TPU-native reimplementation of the resampling semantics the reference gets
 from scipy's compiled ``upfirdn`` core (reference: signal_utils.py:11-17 via
 ``scipy.signal.resample_poly`` / ``scipy.signal.decimate``). Filter *design*
-(tap computation) is static host-side setup using scipy; the *compute* path is
-``lax.conv_general_dilated`` so XLA can tile the polyphase convolution onto
-the TPU convolution/matmul units.
+(tap computation) is static host-side setup using scipy; the *compute* path
+reformulates upfirdn as a phase-grouped matmul (see _polyphase_bank) so the
+resampling runs on the MXU.
 
 The output-sample alignment, edge handling (including the ``padtype='line'``
 linear-trend extension) and tap normalisation reproduce scipy's behavior
@@ -21,7 +21,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from scipy import signal as _spsignal
 
 
@@ -39,29 +38,6 @@ def _upfirdn_output_len(len_h: int, n_in: int, up: int, down: int) -> int:
     return ((n_in - 1) * up + len_h - 1) // down + 1
 
 
-def _conv_real(x2: jnp.ndarray, h: np.ndarray, up: int, down: int) -> jnp.ndarray:
-    """Strided/dilated convolution core.
-
-    x2: (B, n) real float32 rows (re/im planes), h: static float taps.
-    Returns (B, n_out) where n_out = _upfirdn_output_len(len(h), n, up, down).
-
-    out[m] = sum_j h[j] * x_up[m*down - j]  with x_up the zero-stuffed input —
-    i.e. exactly scipy.signal.upfirdn(h, x, up, down) per row.
-    """
-    len_h = len(h)
-    rhs = jnp.asarray(np.asarray(h, dtype=np.float32)[::-1]).reshape(1, 1, len_h)
-    lhs = x2[:, None, :]
-    out = lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(down,),
-        padding=[(len_h - 1, len_h - 1)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )
-    return out[:, 0, :]
-
-
 def _as_planes(x: jnp.ndarray):
     """Split a 1-D (possibly complex) array into real rows; returns (planes, is_complex)."""
     if jnp.iscomplexobj(x):
@@ -71,8 +47,60 @@ def _as_planes(x: jnp.ndarray):
 
 def _from_planes(p: jnp.ndarray, is_complex: bool) -> jnp.ndarray:
     if is_complex:
-        return lax.complex(p[0], p[1]).astype(jnp.complex64)
+        return jax.lax.complex(p[0], p[1]).astype(jnp.complex64)
     return p[0]
+
+
+@functools.lru_cache(maxsize=256)
+def _polyphase_bank(h_key, up: int, down: int):
+    """Phase-grouped tap bank for the matmul formulation of upfirdn.
+
+    upfirdn's output satisfies
+
+        out[g*up + p] = Σ_wi B[p, wi] · x[g*down + q_min + wi],
+        B[p, wi] = h[p*down - (wi + q_min)*up]   (0 where out of range)
+
+    i.e. the tap pattern depends only on the output phase p, never on the
+    group index g — so the whole resampling is one (G, W) × (W, up) matmul
+    on the MXU instead of a dilated convolution.
+    """
+    h = _TAP_CACHE[h_key]
+    len_h = len(h)
+    # valid q for phase p: 0 <= p*down - q*up < len_h
+    q_min = min((p * down - (len_h - 1)) // up for p in range(up))
+    q_max = max((p * down) // up for p in range(up))
+    w = q_max - q_min + 1
+    bank = np.zeros((up, w), dtype=np.float32)
+    for p in range(up):
+        for qi in range(w):
+            j = p * down - (qi + q_min) * up
+            if 0 <= j < len_h:
+                bank[p, qi] = h[j]
+    return bank, q_min, w
+
+
+def _upfirdn_matmul(planes: jnp.ndarray, h_key, up: int, down: int) -> jnp.ndarray:
+    """upfirdn core as a polyphase matmul. planes: (B, n) real rows."""
+    h = _TAP_CACHE[h_key]
+    n_in = planes.shape[1]
+    n_out = _upfirdn_output_len(len(h), n_in, up, down)
+    bank, q_min, w = _polyphase_bank(h_key, up, down)
+    groups = -(-n_out // up)
+    rows_per_win = -(-w // down) + 1
+    # x index of window element (g, wi) is g*down + q_min + wi; q_min <= 0
+    # always (the p=0 phase reaches back len_h-1 taps), so left-padding by
+    # -q_min aligns window row g with padded index g*down.
+    pad_l = -q_min
+    assert q_min <= 0
+    total = (groups + rows_per_win) * down
+    pad_r = max(0, total - (n_in + pad_l))
+    xp = jnp.pad(planes, ((0, 0), (pad_l, pad_r)))[:, :total]
+    r = xp.reshape(planes.shape[0], groups + rows_per_win, down)
+    win = jnp.concatenate([r[:, i:i + groups] for i in range(rows_per_win)],
+                          axis=2)[:, :, :w]             # (B, G, W)
+    out = jnp.einsum("bgw,pw->bgp", win, jnp.asarray(bank),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(planes.shape[0], groups * up)[:, :n_out]
 
 
 @functools.partial(jax.jit, static_argnames=("h_key", "up", "down", "mode"))
@@ -91,12 +119,12 @@ def _upfirdn_jit(x, h_key, up, down, mode):
         left = planes[:, :1] - slope[:, None] * kl[None, :]
         right = planes[:, -1:] + slope[:, None] * kr[None, :]
         planes = jnp.concatenate([left, planes, right], axis=1)
-        out = _conv_real(planes, h, up, down)
+        out = _upfirdn_matmul(planes, h_key, up, down)
         shift = ext * up // down
         n_out = _upfirdn_output_len(len(h), n_in, up, down)
         out = out[:, shift:shift + n_out]
     else:
-        out = _conv_real(planes, h, up, down)
+        out = _upfirdn_matmul(planes, h_key, up, down)
     return _from_planes(out, is_c)
 
 

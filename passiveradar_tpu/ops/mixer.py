@@ -41,13 +41,15 @@ def _phase_tables(c: float, n: int):
 def _freq_shift_jit(x, phase_offset, fc: float, fs: float):
     n = x.shape[-1]
     coarse_np, c_hi, c_lo = _phase_tables(float(fc) / float(fs), n)
-    coarse = jnp.asarray(coarse_np)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    n1 = idx // _SPLIT_K
-    n0 = (idx % _SPLIT_K).astype(jnp.float32)
-    cycles = coarse[n1] + c_hi * n0 + c_lo * n0
+    # tile the sample axis as (n1, K) so the coarse table applies by
+    # broadcast instead of a per-sample gather (gathers are slow on TPU)
+    n1_max = len(coarse_np)
+    coarse = jnp.asarray(coarse_np)[:, None]                 # (n1, 1)
+    n0 = jnp.arange(_SPLIT_K, dtype=jnp.float32)[None, :]    # (1, K)
+    cycles = coarse + (c_hi * n0 + c_lo * n0)
     cycles = cycles - jnp.floor(cycles)
-    theta = (2.0 * np.pi) * cycles + jnp.asarray(phase_offset, jnp.float32)[..., None]
+    theta = ((2.0 * np.pi) * cycles).reshape(n1_max * _SPLIT_K)[:n]
+    theta = theta + jnp.asarray(phase_offset, jnp.float32)[..., None]
     osc = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
     return (x * osc).astype(jnp.complex64)
 

@@ -43,11 +43,15 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
                      cfg: RadarConfig) -> jnp.ndarray:
     """Deinterleave → down-convert → resample one channel's frame batch.
 
-    raw: (F, input_chunk_length) float32; phases: (F,) per-frame mixing
-    phases from block_phase_offsets. Returns (F, output_chunk_length)
-    complex64 at the IF rate.
+    raw: (F, input_chunk_length) float32 interleaved IQ, or already-complex
+    (F, input_chunk_length//2) complex64 (ingest reinterprets the interleaved
+    stream as complex64 with a free host-side view — [I,Q] pairs are
+    bit-identical to complex64, and stride-2 deinterleaving on device costs a
+    full relayout). phases: (F,) per-frame mixing phases from
+    block_phase_offsets. Returns (F, output_chunk_length) complex64 at the
+    IF rate.
     """
-    iq = _deinterleave_batch(raw)
+    iq = raw if jnp.iscomplexobj(raw) else _deinterleave_batch(raw)
     shifted = frequency_shift(iq, cfg.offset_freq, cfg.input_sample_rate,
                               phases)
     resampled = jax.vmap(
@@ -132,7 +136,7 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
         count = min(bf, total - done)
         lo = max(0, done - 1)
         hi = min(total, done + count + 1)
-        ref_raw, srv_raw = reader.read_raw_frames(lo, hi - lo)
+        ref_raw, srv_raw = reader.read_iq_frames(lo, hi - lo)
         phases = frame_phases(cfg, list(range(lo, hi)))
         ref_raw = jnp.asarray(ref_raw)
         srv_raw = jnp.asarray(srv_raw)
