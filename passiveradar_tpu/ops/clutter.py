@@ -60,34 +60,98 @@ def circular_corr_lags(s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
 # small Hermitian solves via real embedding (TPU float32 linalg)
 # --------------------------------------------------------------------------
 
-def _solve_complex(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = b for complex Hermitian-ish A via the real 2M embedding."""
+def _solve_complex(a: jnp.ndarray, b: jnp.ndarray, assume_pd: bool = False) -> jnp.ndarray:
+    """Solve A x = b for complex Hermitian A via the real 2M embedding.
+
+    assume_pd=True uses Cholesky (the embedding of a Hermitian PD matrix is
+    symmetric PD) — much faster than LU on TPU; correlation Gram/Toeplitz
+    matrices of real captures are PD up to round-off.
+    """
     ar, ai = jnp.real(a), jnp.imag(a)
     big = jnp.block([[ar, -ai], [ai, ar]])
     rhs = jnp.concatenate([jnp.real(b), jnp.imag(b)])
-    sol = jnp.linalg.solve(big, rhs)
+    if assume_pd:
+        chol = jnp.linalg.cholesky(big)
+        y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+        sol = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    else:
+        sol = jnp.linalg.solve(big, rhs)
     m = a.shape[0]
     return jax.lax.complex(sol[:m], sol[m:]).astype(jnp.complex64)
 
 
-def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray,
+                   assume_pd: bool = True) -> jnp.ndarray:
     """Solve T x = b where T is Hermitian Toeplitz with first column ``c``.
 
     Matches scipy.linalg.solve_toeplitz(c, b) for Hermitian systems (the row
     is taken as conj(c), scipy's default). The reference's 185-tap system is
     small, so a dense batched solve keeps the MXU busy instead of a serial
-    Levinson recursion.
+    Levinson recursion; autocorrelation systems are PD, so Cholesky is the
+    default (pass assume_pd=False for an LU solve of indefinite systems).
     """
     m = c.shape[0]
     d = np.arange(m)[:, None] - np.arange(m)[None, :]
     cg = c[jnp.asarray(np.abs(d))]
     t = jnp.where(jnp.asarray(d >= 0), cg, jnp.conj(cg))
-    return _solve_complex(t, b)
+    return _solve_complex(t, b, assume_pd=assume_pd)
 
 
 # --------------------------------------------------------------------------
 # block least-squares clutter filters
 # --------------------------------------------------------------------------
+
+def _tri_corr_wrap(a: jnp.ndarray, b: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Circular-correlation alias terms: w[j] = Σ_{t<j} a[t]·conj(b[t+m-j]).
+
+    a = head of s1, b = tail of s2 (both length m). Subtracting w from the
+    length-N circular correlation gives the exact linear (zero-padded)
+    correlation without a 2N FFT.
+    """
+    jj = np.arange(m)[:, None]
+    tt = np.arange(m)[None, :]
+    idx = tt + m - jj
+    h = jnp.where(jnp.asarray(idx < m),
+                  jnp.conj(b)[jnp.asarray(np.minimum(idx, m - 1))], 0)
+    return h @ a
+
+
+def _tri_conv_wrap(taps: jnp.ndarray, tail: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Circular-convolution alias terms: w[t] = Σ_{j>t} taps[j]·tail[m+t-j].
+
+    tail = last m samples of the signal. Subtracting w from the first m
+    samples of the length-N circular convolution gives the linear one.
+    """
+    tt = np.arange(m)[:, None]
+    jj = np.arange(m)[None, :]
+    idx = m + tt - jj
+    h = jnp.where(jnp.asarray(idx < m),
+                  tail[jnp.asarray(np.minimum(idx, m - 1))], 0)
+    return h @ taps
+
+
+def _toeplitz_ls_pass(rs: jnp.ndarray, srv: jnp.ndarray, m: int):
+    """One LS clutter pass against a (possibly modulated) reference ``rs``.
+
+    All correlations/convolutions run as length-N circular FFTs with exact
+    triangular alias corrections (see the *_wrap helpers) — N is a power of
+    two in every radar configuration, so this halves the FFT lengths and
+    removes four of the nine transforms a zero-padded formulation needs.
+    """
+    n = srv.shape[0]
+    f_rs = jnp.fft.fft(rs)
+    f_srv = jnp.fft.fft(srv)
+    rs_tail = rs[n - m:]
+    ac = jnp.fft.ifft(f_rs * jnp.conj(f_rs))[:m] \
+        - _tri_corr_wrap(rs[:m], rs_tail, m)
+    cc = jnp.fft.ifft(f_srv * jnp.conj(f_rs))[:m] \
+        - _tri_corr_wrap(srv[:m], rs_tail, m)
+    taps = toeplitz_solve(ac, cc)
+    circ = jnp.fft.ifft(f_rs * jnp.fft.fft(taps, n))
+    head = circ[:m] - _tri_conv_wrap(taps, rs_tail, m)
+    clutter = jnp.concatenate([head, circ[m:]])
+    return (srv - clutter).astype(jnp.complex64), taps
+
 
 @functools.partial(jax.jit, static_argnames=("filter_len", "peek", "return_filter"))
 def ls_filter_toeplitz(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
@@ -98,16 +162,9 @@ def ls_filter_toeplitz(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     of the peek-advanced reference channel, then subtracts the estimated
     clutter (full convolution of the taps with the reference, truncated).
     """
-    n = srv.shape[0]
     m = filter_len + peek
     rs = jnp.roll(ref, -peek)
-    ac = linear_corr_lags(rs, rs, m)
-    cc = linear_corr_lags(srv, rs, m)
-    taps = toeplitz_solve(ac, cc)
-    fft_len = _next_pow2(n + m)
-    clutter = jnp.fft.ifft(
-        jnp.fft.fft(rs, fft_len) * jnp.fft.fft(taps, fft_len))[:n]
-    out = (srv - clutter).astype(jnp.complex64)
+    out, taps = _toeplitz_ls_pass(rs, srv, m)
     if return_filter:
         return out, taps
     return out
@@ -124,13 +181,16 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     float32 phase ramp is exact to ~1e-6 rad).
     """
     n = ref.shape[0]
+    peek = 10
+    m = filter_len + peek
     freqs = jnp.asarray(np.asarray(doppler_bins, np.float32))
     t = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
 
     def body(cur, f):
         theta = 2.0 * np.pi * f * t
         mod = ref * jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-        return ls_filter_toeplitz(mod, cur, filter_len), None
+        out, _ = _toeplitz_ls_pass(jnp.roll(mod, -peek), cur, m)
+        return out, None
 
     out, _ = jax.lax.scan(body, srv, freqs)
     return out
