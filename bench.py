@@ -24,6 +24,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the pipeline program takes minutes to build
+    # the first time; later runs (and driver re-runs) start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from passiveradar_tpu.config import derive_config
     from passiveradar_tpu.io.synthetic import Target, synth_capture_device
     from passiveradar_tpu.pipeline import frame_phases, process_frames
