@@ -1,0 +1,49 @@
+"""Main processing entry point: capture → range-Doppler map stack.
+
+Mirrors the reference's main.py CLI (main.py:17-28, 229-233); the dask graph
+becomes the jitted frame pipeline, optionally sharded over all local devices.
+"""
+
+from __future__ import annotations
+
+import time
+
+from passiveradar_tpu.cli.common import banner, load, parser
+from passiveradar_tpu.io.hdf5 import CaptureReader
+from passiveradar_tpu.io.writers import MapWriter, write_metadata
+from passiveradar_tpu.pipeline import run_capture
+
+
+def main(argv=None):
+    p = parser("PASSIVE RADAR - MAIN PROCESSING")
+    p.add_argument("--batch-frames", type=int, default=None,
+                   help="Frames per device dispatch (default: cfg.frame_batch)")
+    p.add_argument("--shard", action="store_true",
+                   help="Shard the frame batch across all local devices")
+    args = p.parse_args(argv)
+    cfg = load(args)
+    banner(cfg)
+
+    reader = CaptureReader(cfg)
+    print(f"Corrected a sample offset of {reader.offset} samples between channels")
+    total = min(reader.num_frames, cfg.num_frames)
+    writer = MapWriter(cfg, total)
+
+    sharding = None
+    if args.shard:
+        from passiveradar_tpu.parallel.mesh import frame_sharding, make_mesh
+        sharding = frame_sharding(make_mesh())
+
+    t0 = time.time()
+    n = run_capture(reader, writer, cfg, batch_frames=args.batch_frames,
+                    sharding=sharding)
+    writer.close()
+    write_metadata(cfg, n)
+    dt = time.time() - t0
+    print(f"Saved {n} range-Doppler frames to {writer.path} "
+          f"({n / dt:.1f} frames/s); metadata in {cfg.meta_fname}")
+    reader.close()
+
+
+if __name__ == "__main__":
+    main()
