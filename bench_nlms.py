@@ -23,7 +23,7 @@ def main():
 
     from passiveradar_tpu.ops.nlms_pallas import nlms_filter_pallas
 
-    b, n = 8, 262144
+    b, n = 32, 262144
     filter_len, peek, mu = 175, 10, 0.05
     m = filter_len + peek
 

@@ -102,17 +102,19 @@ class CaptureReader:
 class PrefetchReader:
     """Wraps a CaptureReader with a one-batch-ahead background thread."""
 
-    def __init__(self, reader: CaptureReader, batches):
+    def __init__(self, reader: CaptureReader, batches, mode: str = "raw"):
         self.reader = reader
         self.num_frames = reader.num_frames
         self._q: queue.Queue = queue.Queue(maxsize=2)
         self._batches = list(batches)
+        self._read = (reader.read_iq_frames if mode == "iq"
+                      else reader.read_raw_frames)
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
     def _work(self):
         for start, count in self._batches:
-            self._q.put((start, count, self.reader.read_raw_frames(start, count)))
+            self._q.put((start, count, self._read(start, count)))
         self._q.put(None)
 
     def __iter__(self):

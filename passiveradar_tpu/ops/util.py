@@ -22,3 +22,14 @@ def deinterleave_iq(x: jnp.ndarray) -> jnp.ndarray:
 def normalize(x: jnp.ndarray) -> jnp.ndarray:
     """Normalize an array to unit mean magnitude (signal_utils.py:7-9)."""
     return x / jnp.mean(jnp.abs(x))
+
+
+def shift(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Shift x by n samples, zero-filling the vacated edge
+    (signal_utils.py:34-47)."""
+    n = int(n)
+    if n == 0:
+        return jnp.asarray(x)
+    if n > 0:
+        return jnp.concatenate([jnp.zeros(n, x.dtype), x[:-n]])
+    return jnp.concatenate([x[-n:], jnp.zeros(-n, x.dtype)])

@@ -78,6 +78,32 @@ def find_channel_offset(s1: jnp.ndarray, s2: jnp.ndarray, nd: int,
     return int(jnp.argmax(mags)) * nd - nl * nd
 
 
+def offset_compensation(x1: jnp.ndarray, x2: jnp.ndarray, ns: int, ndec: int,
+                        nlag: int = 2000) -> jnp.ndarray:
+    """Find and correct a constant time offset between two signals
+    (reference signal_utils.py:49-71): estimate the offset from the first
+    ``ns`` samples via decimated cross-correlation, then shift ``x2`` into
+    alignment with zero-filled edges."""
+    from passiveradar_tpu.ops.util import shift
+
+    os_ = find_channel_offset(x1[:int(ns)], x2[:int(ns)], ndec, nlag)
+    if os_ == 0:
+        return jnp.asarray(x2)
+    return shift(jnp.asarray(x2), os_)
+
+
+def channel_preprocessing(sig: jnp.ndarray, dec: int, fc: float,
+                          fs: float) -> jnp.ndarray:
+    """Deinterleave, tune to the channel frequency and decimate
+    (reference signal_utils.py:80-85)."""
+    from passiveradar_tpu.ops.fir import fir_decimate
+    from passiveradar_tpu.ops.mixer import frequency_shift
+    from passiveradar_tpu.ops.util import deinterleave_iq
+
+    iq = deinterleave_iq(jnp.asarray(sig))
+    return fir_decimate(frequency_shift(iq, fc, fs), dec)
+
+
 def apply_offset(ref: jnp.ndarray, srv: jnp.ndarray, offset: int):
     """Trim two channels so they align given ``offset`` = find_channel_offset.
 

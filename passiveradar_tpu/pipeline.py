@@ -129,14 +129,30 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     batch boundaries is exact (recomputed edge frames), matching a single
     whole-capture evaluation.
     """
+    from passiveradar_tpu.io.hdf5 import PrefetchReader
+
     total = min(reader.num_frames, cfg.num_frames)
     bf = batch_frames or cfg.frame_batch
+
+    # batch schedule with one-frame halo margins
+    batches = []
     done = 0
     while done < total:
         count = min(bf, total - done)
         lo = max(0, done - 1)
         hi = min(total, done + count + 1)
-        ref_raw, srv_raw = reader.read_iq_frames(lo, hi - lo)
+        batches.append((done, count, lo, hi))
+        done += count
+
+    # background thread keeps the next batch's disk read in flight while the
+    # device processes the current one (the reference's implicit dask
+    # pipeline interleaving, made explicit)
+    prefetch = PrefetchReader(reader, [(lo, hi - lo) for _, _, lo, hi in batches],
+                              mode="iq")
+
+    done = 0
+    for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
+            batches, prefetch):
         phases = frame_phases(cfg, list(range(lo, hi)))
         ref_raw = jnp.asarray(ref_raw)
         srv_raw = jnp.asarray(srv_raw)
@@ -146,8 +162,8 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
         maps = process_frames(ref_raw, srv_raw, jnp.asarray(phases), cfg)
         # margin frames have wrong (batch-local zero) halos unless they are
         # the true capture edges — drop them.
-        maps = np.asarray(maps)[done - lo:done - lo + count]
-        writer.write(maps, done)
+        maps = np.asarray(maps)[start - lo:start - lo + count]
+        writer.write(maps, start)
         done += count
         if progress:
             print(f"\r  processed {done}/{total} frames", end="", flush=True)

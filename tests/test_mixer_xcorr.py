@@ -114,3 +114,40 @@ def test_find_channel_offset_decimated(rng):
     srv = base[:30000]
     est = find_channel_offset(ref, srv, 4, 500)
     assert abs(est - (-off)) <= 4
+
+
+def test_shift_matches_reference_semantics(rng):
+    from passiveradar_tpu.ops.util import shift
+    x = (rng.standard_normal(32) + 1j * rng.standard_normal(32)).astype(np.complex64)
+    for n in (0, 3, -4):
+        got = np.asarray(shift(x, n))
+        want = np.empty_like(x)
+        if n == 0:
+            want = x
+        elif n > 0:
+            want[:n] = 0
+            want[n:] = x[:-n]
+        else:
+            want[n:] = 0
+            want[:n] = x[-n:]
+        assert np.array_equal(got, want)
+
+
+def test_offset_compensation_aligns(rng):
+    from passiveradar_tpu.ops.xcorr import offset_compensation
+    n = 20000
+    base = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    x1 = base[100:16100]
+    x2 = base[:16000]  # x2 leads x1 by 100 samples
+    x2s = np.asarray(offset_compensation(x1, x2, 8000, 1, 500))
+    # after compensation the channels correlate at zero lag
+    peak = int(np.argmax(np.abs(np.asarray(xcorr(x1, x2s, 50, 50)))))
+    assert peak == 50
+
+
+def test_channel_preprocessing_shapes(rng):
+    from passiveradar_tpu.ops.xcorr import channel_preprocessing
+    sig = rng.standard_normal(8192).astype(np.float32)
+    out = np.asarray(channel_preprocessing(sig, 4, 100.0, 8192.0))
+    assert out.shape == (1024,)
+    assert out.dtype == np.complex64
