@@ -59,9 +59,9 @@ def resolve_window(window, n: int):
     return window  # jax array or tracer
 
 
-@functools.partial(jax.jit, static_argnames=("range_bins", "freq_bins"))
-def _fast_xambg_seg(ref, srv, window, range_bins: int, freq_bins: int):
-    """Segment-FFT CAF core. ref/srv: (N,) complex64; window: (N,) or None."""
+def _caf_segment_tables(ref, srv, window, range_bins: int, freq_bins: int):
+    """Segment tables A (windowed-ref rows) and P (conj-srv rows) for the
+    segment-correlation CAF (see module docstring)."""
     n = ref.shape[0]
     nf = freq_bins
     r = range_bins
@@ -77,32 +77,94 @@ def _fast_xambg_seg(ref, srv, window, range_bins: int, freq_bins: int):
     rows = nf + n_extra + 1
     a_pad = jnp.concatenate([jnp.zeros(half, a.dtype), a])
     a_pad = jnp.pad(a_pad, (0, rows * d - a_pad.shape[0]))
-    A = a_pad.reshape(rows, d)
+    aa = a_pad.reshape(rows, d)
 
     # sext[u] = conj(srv[(u - half) mod n]) — circular, matching np.roll
     idx = np.mod(np.arange(rows * d) - half, n)
     sext = jnp.conj(srv)[jnp.asarray(idx)]
-    P = sext.reshape(rows, d)
+    pp = sext.reshape(rows, d)
+    return aa, pp, d, n_extra
+
+
+def _caf_pre_rows(aa, pp, d: int, n_extra: int, range_bins: int,
+                  row_count: int, row0=0):
+    """pre[m, k] for segment rows m ∈ [row0, row0+row_count).
+
+    Row-wise independent, so tensor-parallel CAF shards this over devices.
+    row0 may be traced (dynamic slice).
+    """
+    r = range_bins
+    nf = row_count
+    a_rows = jax.lax.dynamic_slice_in_dim(aa, row0, nf + 1, axis=0)
+    p_rows = jax.lax.dynamic_slice_in_dim(pp, row0, nf + n_extra + 1, axis=0)
 
     def windows_from(start_row: int, width: int):
-        parts = [P[start_row + i:start_row + i + nf] for i in range(n_extra + 1)]
+        parts = [p_rows[start_row + i:start_row + i + nf]
+                 for i in range(n_extra + 1)]
         return jnp.concatenate(parts, axis=1)[:, :width]
 
     # segment correlation: c[m, s] = Σ_i A[m, i] * S[m, i+s],  s = 0..R
-    S = windows_from(0, d + r)
+    s_win = windows_from(0, d + r)
     fft_len = _next_pow2(d + r + 1)
-    fs_ = jnp.fft.fft(S, fft_len, axis=1)
-    fa_ = jnp.fft.fft(jnp.conj(A[:nf]), fft_len, axis=1)
+    fs_ = jnp.fft.fft(s_win, fft_len, axis=1)
+    fa_ = jnp.fft.fft(jnp.conj(a_rows[:nf]), fft_len, axis=1)
     c = jnp.fft.ifft(fs_ * jnp.conj(fa_), axis=1)[:, :r + 1]
 
     # boundary sample of each centred window: a[(m+1)d - half] * sext[(m+1)d + s]
-    term = A[1:nf + 1, 0:1] * windows_from(1, r + 1)
+    term = a_rows[1:nf + 1, 0:1] * windows_from(1, r + 1)
 
     pre = c + term                      # [m, shift] with shift = R - k
-    pre = pre[:, ::-1]                  # → [m, k], k = 0..R (lag -R..0)
+    return pre[:, ::-1]                 # → [m, k], k = 0..R (lag -R..0)
 
+
+@functools.partial(jax.jit, static_argnames=("range_bins", "freq_bins"))
+def _fast_xambg_seg(ref, srv, window, range_bins: int, freq_bins: int):
+    """Segment-FFT CAF core. ref/srv: (N,) complex64; window: (N,) or None."""
+    aa, pp, d, n_extra = _caf_segment_tables(ref, srv, window, range_bins,
+                                             freq_bins)
+    pre = _caf_pre_rows(aa, pp, d, n_extra, range_bins, freq_bins)
     out = jnp.fft.fftshift(jnp.fft.fft(pre, axis=0), axes=0)
     return out.astype(jnp.complex64)
+
+
+def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
+                  freq_bins: int, mesh, window=None,
+                  axis_name: str = "tp") -> jnp.ndarray:
+    """Tensor-parallel CAF: one frame spread across the ``axis_name`` mesh
+    axis (SURVEY §2.3 — for frames too large or too latency-critical for a
+    single chip).
+
+    Decomposition: the segment-correlation stage is row-independent, so each
+    device computes freq_bins/ntp segment rows; a single all-gather then
+    rebuilds the full pre-FFT matrix and each device runs the Doppler FFT
+    over its slice of range lags. Output matches fast_xambg exactly.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ntp = mesh.shape[axis_name]
+    if freq_bins % ntp or (range_bins + 1) % ntp:
+        raise ValueError("freq_bins and range_bins+1 must divide the mesh axis")
+    rows_per = freq_bins // ntp
+    lags_per = (range_bins + 1) // ntp
+    win = resolve_window(window, ref.shape[0])
+    win_j = None if win is None else jnp.asarray(win)
+
+    def local(ref_l, srv_l):
+        aa, pp, d, n_extra = _caf_segment_tables(ref_l, srv_l, win_j,
+                                                 range_bins, freq_bins)
+        me = jax.lax.axis_index(axis_name)
+        pre_local = _caf_pre_rows(aa, pp, d, n_extra, range_bins, rows_per,
+                                  me * rows_per)
+        pre = jax.lax.all_gather(pre_local, axis_name, tiled=True)  # (nf, R+1)
+        my_lags = jax.lax.dynamic_slice_in_dim(pre, me * lags_per, lags_per,
+                                               axis=1)
+        out = jnp.fft.fftshift(jnp.fft.fft(my_lags, axis=0), axes=0)
+        return out.astype(jnp.complex64)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(None, axis_name))(jnp.asarray(ref), jnp.asarray(srv))
 
 
 def _fast_xambg_general(ref, srv, window, dtaps: np.ndarray, range_bins: int,

@@ -113,3 +113,18 @@ def test_direct_xambg_agrees_with_fast(rng):
     ff, fr = np.unravel_index(np.argmax(mf), mf.shape)
     assert (df, dr) == (nf // 2 + 3, r - 4)
     assert (ff, fr) == (nf // 2 - 3, r - 4)
+
+
+def test_fast_xambg_tp_matches_single_device(rng):
+    """Tensor-parallel CAF over an 8-device mesh == single-device CAF."""
+    from passiveradar_tpu.ops.caf import fast_xambg_tp
+    from passiveradar_tpu.parallel.mesh import make_mesh
+
+    n, nf, r = 8192, 128, 15  # r+1 = 16 divides 8
+    ref, srv = _cnoise(rng, n), _cnoise(rng, n)
+    mesh = make_mesh(8, axis_name="tp")
+    got = np.asarray(fast_xambg_tp(ref, srv, r, nf, mesh,
+                                   window=("kaiser", 5.0)))
+    want = np.asarray(fast_xambg(ref, srv, r, nf, window=("kaiser", 5.0)))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-5 * np.max(np.abs(want))
