@@ -1,11 +1,18 @@
 """Chunked, prefetching HDF5 capture reader.
 
-Feeds the device pipeline per-frame raw chunks (real interleaved IQ). The
-read pattern mirrors the reference's ingest (main.py:44-120): estimate the
-inter-channel offset from the head of the capture, trim both channels to
-alignment, then serve fixed-length frame chunks. A background prefetch thread
-keeps the next batch in flight while the device computes — the host I/O path
-is as performance-critical as the kernels for the <30 s target.
+Feeds the device pipeline per-frame complex chunks. The read pattern mirrors
+the reference's ingest (main.py:44-120): estimate the inter-channel offset
+from the head of the capture, trim both channels to alignment, then serve
+fixed-length frame chunks. A background prefetch thread keeps the next batch
+in flight while the device computes — the host I/O path is as
+performance-critical as the kernels for the <30 s target.
+
+Both reference capture layouts are supported (PRconfig.yaml:6-18):
+  * separate per-channel datasets of interleaved IQ floats, reinterpreted as
+    complex64 with a free numpy view;
+  * a single interleaved dataset [refI, refQ, srvI, srvQ, ...], de-multiplexed
+    by the native C++ kernel (native/pr_io.cc) with a numpy fallback.
+int16 captures are converted by the native kernel as well.
 
 Multi-host: ``shard(process_index, process_count)`` restricts a reader to a
 contiguous frame range so each host feeds only its own mesh slice.
@@ -20,51 +27,68 @@ import h5py
 import numpy as np
 
 from passiveradar_tpu.config import RadarConfig
+from passiveradar_tpu.io.native import demux2, i16_to_f32
 from passiveradar_tpu.ops.util import deinterleave_iq
 from passiveradar_tpu.ops.xcorr import find_channel_offset
 
 
 class CaptureReader:
     def __init__(self, cfg: RadarConfig, path: str | None = None,
-                 estimate_offset: bool = True, max_offset_lags: int = 5_000_000):
+                 estimate_offset: bool = True, max_offset_lags: int = 5_000_000,
+                 int16_scale: float = 1.0):
         self.cfg = cfg
         self.path = path or cfg.input_file
+        self.int16_scale = int16_scale
         self._file = h5py.File(self.path, "r")
-        if cfg.interleaved_input_channels:
-            raise NotImplementedError(
-                "interleaved single-dataset captures: split channels first "
-                "(reference main.py:46-75 layout)")
-        self._ref = self._file[cfg.input_ref_path]
-        self._srv = self._file[cfg.input_srv_path]
+        self.interleaved = bool(cfg.interleaved_input_channels)
+        if self.interleaved:
+            self._data = self._file[cfg.interleaved_data_path]
+        else:
+            self._ref = self._file[cfg.input_ref_path]
+            self._srv = self._file[cfg.input_srv_path]
         self.offset = 0
         if estimate_offset:
             self.offset = self._estimate_offset(max_offset_lags)
         self._apply_offset()
 
+    def _to_f32(self, raw: np.ndarray) -> np.ndarray:
+        if raw.dtype == np.int16:
+            return i16_to_f32(raw, self.int16_scale)
+        return np.asarray(raw, np.float32)
+
     # -- channel alignment --------------------------------------------------
     def _estimate_offset(self, max_lags: int) -> int:
-        """Reference main.py:79-83: offset from the first ~10 CPIs."""
-        head = min(10 * self.cfg.cpi_samples, len(self._ref), len(self._srv))
-        refc = deinterleave_iq(np.asarray(self._ref[:head], np.float32))
-        srvc = deinterleave_iq(np.asarray(self._srv[:head], np.float32))
+        """Reference main.py:50-54 / 79-83: offset from the capture head."""
+        if self.interleaved:
+            head = min(20 * self.cfg.cpi_samples, len(self._data))
+            refc, srvc = demux2(self._to_f32(np.asarray(self._data[:head])),
+                                self.int16_scale)
+        else:
+            head = min(10 * self.cfg.cpi_samples, len(self._ref),
+                       len(self._srv))
+            refc = deinterleave_iq(self._to_f32(np.asarray(self._ref[:head])))
+            srvc = deinterleave_iq(self._to_f32(np.asarray(self._srv[:head])))
         nl = min(max_lags, refc.shape[0] - 1)
         return int(find_channel_offset(refc, srvc, 1, nl))
 
     def _apply_offset(self):
-        # offset is in complex samples; raw streams are interleaved (×2)
-        off2 = 2 * self.offset
-        n = min(len(self._ref), len(self._srv))
-        if off2 > 0:
-            self._ref_start, self._srv_start = off2, 0
-            usable = n - off2
-        elif off2 < 0:
-            self._ref_start, self._srv_start = 0, -off2
-            usable = n + off2
+        # offset is in complex channel samples
+        off = self.offset
+        # per-channel start offsets in complex samples
+        if off > 0:
+            self._ref_off, self._srv_off = off, 0
         else:
-            self._ref_start = self._srv_start = 0
-            usable = n
+            self._ref_off, self._srv_off = 0, -off
+        # frame length in complex samples per channel
+        self.frame_len_c = self.cfg.input_chunk_length // 2
+        # raw frame length (per channel) for the float view path
         self.frame_len = self.cfg.input_chunk_length
-        self.num_frames = usable // self.frame_len
+        if self.interleaved:
+            n_pairs = len(self._data) // 4
+            usable = n_pairs - abs(off)
+        else:
+            usable = min(len(self._ref), len(self._srv)) // 2 - abs(off)
+        self.num_frames = usable // self.frame_len_c
         self._first_frame = 0
 
     def shard(self, process_index: int, process_count: int) -> "CaptureReader":
@@ -76,24 +100,42 @@ class CaptureReader:
 
     # -- raw frame access ---------------------------------------------------
     def read_raw_frames(self, start: int, count: int):
-        """(count, input_chunk_length) float32 per channel."""
-        s = (self._first_frame + start) * self.frame_len
-        e = s + count * self.frame_len
-        ref = np.asarray(self._ref[self._ref_start + s:self._ref_start + e],
-                         np.float32).reshape(count, self.frame_len)
-        srv = np.asarray(self._srv[self._srv_start + s:self._srv_start + e],
-                         np.float32).reshape(count, self.frame_len)
-        return ref, srv
+        """(count, input_chunk_length) float32 interleaved IQ per channel."""
+        if self.interleaved:
+            ref, srv = self.read_iq_frames(start, count)
+            return (ref.view(np.float32).reshape(count, self.frame_len),
+                    srv.view(np.float32).reshape(count, self.frame_len))
+        s_c = (self._first_frame + start) * self.frame_len_c
+        e_c = s_c + count * self.frame_len_c
+        ref = self._to_f32(np.asarray(
+            self._ref[2 * (s_c + self._ref_off):2 * (e_c + self._ref_off)]))
+        srv = self._to_f32(np.asarray(
+            self._srv[2 * (s_c + self._srv_off):2 * (e_c + self._srv_off)]))
+        return (ref.reshape(count, self.frame_len),
+                srv.reshape(count, self.frame_len))
 
     def read_iq_frames(self, start: int, count: int):
         """(count, input_chunk_length//2) complex64 per channel.
 
-        Free reinterpretation of the interleaved float32 stream ([I,Q] pairs
-        are bit-identical to complex64) — the fast ingest path; keeps the
-        stride-2 deinterleave off the device.
+        Separate-channel captures: free reinterpretation of the interleaved
+        float32 stream ([I,Q] pairs are bit-identical to complex64).
+        Interleaved captures: native de-multiplex of the 4-way stream.
         """
-        ref, srv = self.read_raw_frames(start, count)
-        return ref.view(np.complex64), srv.view(np.complex64)
+        if not self.interleaved:
+            ref, srv = self.read_raw_frames(start, count)
+            return ref.view(np.complex64), srv.view(np.complex64)
+        s_c = (self._first_frame + start) * self.frame_len_c
+        e_c = s_c + count * self.frame_len_c
+        lo = s_c + min(self._ref_off, self._srv_off)
+        hi = e_c + max(self._ref_off, self._srv_off)
+        raw = np.asarray(self._data[4 * lo:4 * hi])
+        ref, srv = demux2(raw if raw.dtype == np.int16
+                          else np.asarray(raw, np.float32), self.int16_scale)
+        r0 = s_c + self._ref_off - lo
+        s0 = s_c + self._srv_off - lo
+        n = count * self.frame_len_c
+        return (ref[r0:r0 + n].reshape(count, self.frame_len_c),
+                srv[s0:s0 + n].reshape(count, self.frame_len_c))
 
     def close(self):
         self._file.close()

@@ -154,9 +154,30 @@ def synth_capture_device(cfg: RadarConfig, n_frames: int,
 
 
 def write_synth_capture(path: str, cfg: RadarConfig, n_frames: int,
-                        **kwargs) -> None:
-    """Write a synthetic capture to HDF5 in the reference's file layout."""
+                        interleaved: bool | None = None,
+                        dtype=np.float32, **kwargs) -> None:
+    """Write a synthetic capture to HDF5 in the reference's file layout.
+
+    interleaved=True writes the single-dataset 4-way interleaved layout
+    ([refI, refQ, srvI, srvQ, ...], reference main.py:46-75); default follows
+    cfg.interleaved_input_channels. dtype int16 emulates integer SDR captures.
+    """
     ref, srv = synth_capture_arrays(cfg, n_frames, **kwargs)
+    if interleaved is None:
+        interleaved = cfg.interleaved_input_channels
+    if dtype == np.int16:
+        scale = 32000.0 / max(np.max(np.abs(ref)), np.max(np.abs(srv)))
+        ref = (ref * scale).astype(np.int16)
+        srv = (srv * scale).astype(np.int16)
     with h5py.File(path, "w") as f:
-        f.create_dataset(cfg.input_ref_path, data=ref)
-        f.create_dataset(cfg.input_srv_path, data=srv)
+        if interleaved:
+            n_pairs = min(len(ref), len(srv)) // 2
+            data = np.empty(4 * n_pairs, dtype=dtype)
+            data[0::4] = ref[0:2 * n_pairs:2]
+            data[1::4] = ref[1:2 * n_pairs:2]
+            data[2::4] = srv[0:2 * n_pairs:2]
+            data[3::4] = srv[1:2 * n_pairs:2]
+            f.create_dataset(cfg.interleaved_data_path, data=data)
+        else:
+            f.create_dataset(cfg.input_ref_path, data=ref)
+            f.create_dataset(cfg.input_srv_path, data=srv)
