@@ -187,28 +187,37 @@ def _track_transition(track, meas, found):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_tracks", "k_max"))
+def multitarget_step(tracks, frame, frame_extent, n_tracks: int, k_max: int):
+    """One tracker update from one CFAR frame (the streaming-mode entry
+    point; the batch tracker scans this over a frame stack)."""
+    slot_ids = jnp.arange(n_tracks)
+    cand, valid = get_measurements(frame, frame_extent, k_max)
+    # processing priority: confirmed → preliminary → free, stable by
+    # index within each class (reference target_detection.py:494-521)
+    prio = jnp.where(tracks["status"] == 2, 0,
+                     jnp.where(tracks["status"] == 1, 1, 2))
+    order = jnp.argsort(prio * n_tracks + slot_ids)
+
+    def slot_body(carry, s):
+        trks, avail = carry
+        i = order[s]
+        tr = jax.tree.map(lambda a: a[i], trks)
+        meas, found, avail = _associate(tr, cand, avail)
+        new_tr = _track_transition(tr, meas, found)
+        trks = jax.tree.map(lambda a, v: a.at[i].set(v), trks, new_tr)
+        return (trks, avail), None
+
+    (tracks, _), _ = jax.lax.scan(slot_body, (tracks, valid), slot_ids)
+    return tracks
+
+
+@functools.partial(jax.jit, static_argnames=("n_tracks", "k_max"))
 def _multitarget_scan(frames, frame_extent, n_tracks: int, k_max: int):
     tracks0 = init_tracks(n_tracks)
-    slot_ids = jnp.arange(n_tracks)
 
     def frame_step(tracks, frame):
-        cand, valid = get_measurements(frame, frame_extent, k_max)
-        # processing priority: confirmed → preliminary → free, stable by
-        # index within each class (reference target_detection.py:494-521)
-        prio = jnp.where(tracks["status"] == 2, 0,
-                         jnp.where(tracks["status"] == 1, 1, 2))
-        order = jnp.argsort(prio * n_tracks + slot_ids)
-
-        def slot_body(carry, s):
-            trks, avail = carry
-            i = order[s]
-            tr = jax.tree.map(lambda a: a[i], trks)
-            meas, found, avail = _associate(tr, cand, avail)
-            new_tr = _track_transition(tr, meas, found)
-            trks = jax.tree.map(lambda a, v: a.at[i].set(v), trks, new_tr)
-            return (trks, avail), None
-
-        (tracks, _), _ = jax.lax.scan(slot_body, (tracks, valid), slot_ids)
+        tracks = multitarget_step(tracks, frame, frame_extent, n_tracks,
+                                  k_max)
         return tracks, tracks
 
     _, history = jax.lax.scan(frame_step, tracks0, frames)

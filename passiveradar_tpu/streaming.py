@@ -1,0 +1,107 @@
+"""Streaming (real-time) processing mode.
+
+Push raw CPI chunks as they arrive from an SDR; each push advances the full
+chain — preprocess → clutter-cancel → halo-complete CAF → CFAR → multitarget
+tracker — and returns the finished results for the *previous* frame (the 50%
+CPI overlap makes one frame of latency inherent: frame f's CAF needs the head
+of frame f+1, reference main.py:178-181).
+
+All state that the reference keeps implicitly in its offline batch graph
+(neighbour chunks for the overlap, the per-block mixing phase, tracker state)
+is carried explicitly, so the processor runs indefinitely with O(1) memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from passiveradar_tpu.config import RadarConfig
+from passiveradar_tpu.detect.trackers import init_tracks, multitarget_step
+from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
+from passiveradar_tpu.ops.cfar import cfar_2d
+from passiveradar_tpu.pipeline import clutter_batch, frame_phases, preprocess_batch
+
+
+@dataclasses.dataclass
+class StreamResult:
+    frame_index: int
+    caf: np.ndarray          # (num_doppler, num_range+1) complex64
+    cfar: np.ndarray         # (num_range+1 x num_doppler orientation as caf)
+    tracks: dict             # track table snapshot (status, estimate, ...)
+
+
+class StreamingProcessor:
+    """Real-time frame-at-a-time processor with carried tracker state."""
+
+    def __init__(self, cfg: RadarConfig, n_tracks: int = 10,
+                 cfar_kernel: tuple = (18, 4)):
+        self.cfg = cfg
+        self.n_tracks = n_tracks
+        self.cfar_kernel = cfar_kernel
+        self._tracks = init_tracks(n_tracks)
+        self._extent = jnp.asarray(
+            (cfg.max_doppler_actual, cfg.max_range_actual), jnp.float32)
+        self._hist: list = []    # [(index, ref_if, srv_clean)] last 2 frames
+        self._index = 0
+        win = resolve_window(cfg.caf_window, cfg.caf_input_samples)
+        self._window = None if win is None else jnp.asarray(win)
+
+    def _clean(self, raw_ref: np.ndarray, raw_srv: np.ndarray):
+        cfg = self.cfg
+        phases = jnp.asarray(frame_phases(cfg, [self._index]))
+        r = preprocess_batch(jnp.asarray(raw_ref)[None], phases, cfg)
+        s = preprocess_batch(jnp.asarray(raw_srv)[None], phases, cfg)
+        s = clutter_batch(r, s, cfg)
+        return r[0], s[0]
+
+    def _finish(self, prev, cur_head, last: bool = False) -> StreamResult:
+        cfg = self.cfg
+        idx, ref_c, srv_c = prev
+        h = cfg.window_overlap
+        zeros = jnp.zeros(h, ref_c.dtype)
+        if idx == 0:
+            left_r = left_s = zeros
+        else:
+            left_r, left_s = self._left_tail
+        right_r = zeros if last else cur_head[0][:h]
+        right_s = zeros if last else cur_head[1][:h]
+        ref_in = jnp.concatenate([left_r, ref_c, right_r])
+        srv_in = jnp.concatenate([left_s, srv_c, right_s])
+        caf = fast_xambg(ref_in, srv_in, cfg.num_range_cells,
+                         cfg.num_doppler_cells, window=self._window)
+        cf = cfar_2d(jnp.abs(caf), *self.cfar_kernel)
+        self._tracks = multitarget_step(self._tracks, cf, self._extent,
+                                        self.n_tracks, cfg.max_measurements)
+        self._left_tail = (ref_c[-h:], srv_c[-h:])
+        return StreamResult(
+            frame_index=idx,
+            caf=np.asarray(caf),
+            cfar=np.asarray(cf),
+            tracks=jax.tree.map(np.asarray, self._tracks),
+        )
+
+    def push(self, raw_ref: np.ndarray, raw_srv: np.ndarray
+             ) -> Optional[StreamResult]:
+        """Feed one frame's raw chunk per channel (interleaved float32 of
+        length input_chunk_length, or complex64 of half that). Returns the
+        completed result for the previous frame, or None for the first push."""
+        cleaned = self._clean(raw_ref, raw_srv)
+        result = None
+        if self._hist:
+            result = self._finish(self._hist[-1], cleaned)
+        self._hist = [(self._index, *cleaned)]
+        self._index += 1
+        return result
+
+    def flush(self) -> Optional[StreamResult]:
+        """Finish the final in-flight frame (zero right halo at stream end)."""
+        if not self._hist:
+            return None
+        result = self._finish(self._hist[-1], None, last=True)
+        self._hist = []
+        return result
