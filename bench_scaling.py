@@ -1,0 +1,88 @@
+"""Scaling-efficiency harness: frames/s at 1, 2, ..., N devices.
+
+BASELINE.json's scaling-efficiency metric needs samples/s measured at
+1 chip → 1 host → N hosts. This harness runs the frame-sharded pipeline on
+every power-of-two device count available to the current runtime and reports
+per-count throughput plus efficiency vs linear scaling from one device.
+
+On the single tunnelled v5e chip of the dev container it degenerates to the
+1-device row (the multi-device code path itself is validated on virtual CPU
+devices by the test suite and the driver's dryrun). On a pod slice, run one
+process per host; devices() spans the full slice.
+
+Prints one JSON line per device count:
+  {"metric": "scaling_frames_per_s", "devices": D, "value": N,
+   "unit": "frames/s", "efficiency": E}
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from passiveradar_tpu.config import derive_config
+    from passiveradar_tpu.io.synthetic import Target, synth_capture_device
+    from passiveradar_tpu.parallel.mesh import frame_sharding, make_mesh
+    from passiveradar_tpu.pipeline import frame_phases, process_frames
+
+    params = dict(
+        input_sample_rate=2_400_000, input_center_freq=102_000_000,
+        channel_freq=101_900_000, channel_bandwidth=200_000,
+        cpi_seconds_nominal=2.0, max_doppler_nominal=256.0,
+        max_range_nominal=200.0, overlap_cpi=True, num_frames=10_000,
+    )
+    cfg = derive_config(params)
+    frames_per_device = 8
+    summ = jax.jit(lambda x, a: a + jnp.sum(jnp.abs(x)))
+
+    n_dev = len(jax.devices())
+    counts = []
+    d = 1
+    while d <= n_dev:
+        counts.append(d)
+        d *= 2
+
+    base = None
+    for nd in counts:
+        batch = frames_per_device * nd
+        mesh = make_mesh(nd)
+        sh = frame_sharding(mesh)
+        r1, v1 = synth_capture_device(cfg, batch, seed=1, complex_output=True)
+        r2, v2 = synth_capture_device(cfg, batch, seed=2, complex_output=True)
+        ph = jnp.asarray(frame_phases(cfg, list(range(batch))))
+        if nd > 1:
+            r1, v1 = jax.device_put(r1, sh), jax.device_put(v1, sh)
+            r2, v2 = jax.device_put(r2, sh), jax.device_put(v2, sh)
+            ph = jax.device_put(ph, sh)
+
+        out = process_frames(r1, v1, ph, cfg)
+        float(summ(out, jnp.float32(0.0)))          # compile + sync
+        reps = 8
+        t0 = time.time()
+        acc = jnp.float32(0.0)
+        for i in range(reps):
+            out = process_frames(r1 if i % 2 else r2, v1 if i % 2 else v2,
+                                 ph, cfg)
+            acc = summ(out, acc)
+        float(acc)
+        fps = reps * batch / (time.time() - t0)
+        if base is None:
+            base = fps
+        eff = fps / (base * nd)
+        print(json.dumps({
+            "metric": "scaling_frames_per_s", "devices": nd,
+            "value": round(fps, 2), "unit": "frames/s",
+            "efficiency": round(eff, 3),
+        }))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,10 @@ def main(argv=None):
                    help="Frames per device dispatch (default: cfg.frame_batch)")
     p.add_argument("--shard", action="store_true",
                    help="Shard the frame batch across all local devices")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume an interrupted run from the existing output file")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of the run into DIR")
     args = p.parse_args(argv)
     cfg = load(args)
     banner(cfg)
@@ -27,7 +31,9 @@ def main(argv=None):
     reader = CaptureReader(cfg)
     print(f"Corrected a sample offset of {reader.offset} samples between channels")
     total = min(reader.num_frames, cfg.num_frames)
-    writer = MapWriter(cfg, total)
+    writer = MapWriter(cfg, total, resume=args.resume)
+    if args.resume and writer.frames_done:
+        print(f"Resuming at frame {writer.frames_done}/{total}")
 
     sharding = None
     if args.shard:
@@ -35,8 +41,14 @@ def main(argv=None):
         sharding = frame_sharding(make_mesh())
 
     t0 = time.time()
-    n = run_capture(reader, writer, cfg, batch_frames=args.batch_frames,
-                    sharding=sharding)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            n = run_capture(reader, writer, cfg,
+                            batch_frames=args.batch_frames, sharding=sharding)
+    else:
+        n = run_capture(reader, writer, cfg, batch_frames=args.batch_frames,
+                        sharding=sharding)
     writer.close()
     write_metadata(cfg, n)
     dt = time.time() - t0

@@ -34,28 +34,45 @@ def write_metadata(cfg: RadarConfig, num_frames: int, path: str | None = None):
 
 
 class MapWriter:
-    """Incremental frame-stack writer (frames arrive batch-by-batch)."""
+    """Incremental frame-stack writer (frames arrive batch-by-batch).
+
+    Progress is tracked in the output file itself (a ``frames_done``
+    attribute advanced on contiguous writes), so an interrupted run can be
+    resumed with ``resume=True`` — the crash-loses-the-run failure mode of
+    the reference (SURVEY §5.3: no resume logic) is closed.
+    """
 
     def __init__(self, cfg: RadarConfig, num_frames: int,
-                 path: str | None = None):
+                 path: str | None = None, resume: bool = False):
         self.cfg = cfg
         self.num_frames = num_frames
         self.path = path or cfg.range_doppler_map_fname
+        self.frames_done = 0
         shape = (cfg.num_doppler_cells, cfg.num_range_cells + 1, num_frames)
         chunk = (cfg.num_doppler_cells, cfg.num_range_cells + 1, 1)
         ftype = cfg.range_doppler_map_ftype
         if ftype == "zarr" and _HAS_ZARR:
             import zarr
-            self._z = zarr.open(self.path, mode="w", shape=shape,
+            mode = "a" if resume else "w"
+            self._z = zarr.open(self.path, mode=mode, shape=shape,
                                 chunks=chunk, dtype=np.complex64)
+            if resume:
+                self.frames_done = int(self._z.attrs.get("frames_done", 0))
             self._h5 = None
         else:
             if ftype == "zarr":
                 # zarr not available in this environment: fall back to hdf5
                 self.path = self.cfg.output_fname + ".hdf5"
-            self._h5 = h5py.File(self.path, "w")
-            self._d = self._h5.create_dataset(
-                "/xambg", shape=shape, dtype=np.complex64, chunks=chunk)
+            import os
+            if resume and os.path.exists(self.path):
+                self._h5 = h5py.File(self.path, "a")
+                self._d = self._h5["/xambg"]
+                self.frames_done = int(self._d.attrs.get("frames_done", 0))
+            else:
+                self._h5 = h5py.File(self.path, "w")
+                self._d = self._h5.create_dataset(
+                    "/xambg", shape=shape, dtype=np.complex64, chunks=chunk)
+                self._d.attrs["frames_done"] = 0
             self._z = None
 
     def write(self, frames: np.ndarray, start: int):
@@ -65,6 +82,13 @@ class MapWriter:
             self._z[:, :, start:start + frames.shape[0]] = block
         else:
             self._d[:, :, start:start + frames.shape[0]] = block
+        if start <= self.frames_done:
+            self.frames_done = max(self.frames_done, start + frames.shape[0])
+            if self._z is not None:
+                self._z.attrs["frames_done"] = self.frames_done
+            else:
+                self._d.attrs["frames_done"] = self.frames_done
+                self._h5.flush()
 
     def close(self):
         if self._h5 is not None:

@@ -134,9 +134,10 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     total = min(reader.num_frames, cfg.num_frames)
     bf = batch_frames or cfg.frame_batch
 
-    # batch schedule with one-frame halo margins
+    # batch schedule with one-frame halo margins; resume skips batches the
+    # writer already holds
     batches = []
-    done = 0
+    done = getattr(writer, "frames_done", 0)
     while done < total:
         count = min(bf, total - done)
         lo = max(0, done - 1)
@@ -150,7 +151,7 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     prefetch = PrefetchReader(reader, [(lo, hi - lo) for _, _, lo, hi in batches],
                               mode="iq")
 
-    done = 0
+    done = getattr(writer, "frames_done", 0)
     for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
             batches, prefetch):
         phases = frame_phases(cfg, list(range(lo, hi)))

@@ -168,3 +168,48 @@ def test_file_roundtrip_and_run_capture(tiny_cfg, tmp_path):
     meta = np.load(str(tmp_path / "maps.npz"))
     assert meta["doppler_bins"].shape == (cfg.num_doppler_cells,)
     reader.close()
+
+
+def test_resume_after_interruption(tiny_cfg, tmp_path):
+    """MapWriter resume: an interrupted run restarts where it stopped and the
+    result matches an uninterrupted run."""
+    cfg = tiny_cfg
+    n_frames = 6
+    path = str(tmp_path / "cap_r.hdf5")
+    write_synth_capture(path, cfg, n_frames, targets=(Target(40, 20.0, 0.1),))
+    reader = CaptureReader(cfg, path, estimate_offset=False)
+    total = min(reader.num_frames, cfg.num_frames)
+
+    # full run for reference output
+    w_full = MapWriter(cfg, total, str(tmp_path / "full.hdf5"))
+    run_capture(reader, w_full, cfg, batch_frames=2, progress=False)
+    w_full.close()
+
+    # interrupted: process only the first batch, then resume
+    w1 = MapWriter(cfg, total, str(tmp_path / "part.hdf5"))
+    batches_done = []
+    orig_write = w1.write
+    def write_once(frames, start):
+        orig_write(frames, start)
+        batches_done.append(start)
+        if len(batches_done) == 1:
+            raise KeyboardInterrupt
+    w1.write = write_once
+    try:
+        run_capture(reader, w1, cfg, batch_frames=2, progress=False)
+    except KeyboardInterrupt:
+        pass
+    w1.close()
+
+    w2 = MapWriter(cfg, total, str(tmp_path / "part.hdf5"), resume=True)
+    assert w2.frames_done == 2
+    run_capture(reader, w2, cfg, batch_frames=2, progress=False)
+    w2.close()
+
+    import h5py
+    with h5py.File(str(tmp_path / "full.hdf5")) as f:
+        want = np.asarray(f["/xambg"])
+    with h5py.File(str(tmp_path / "part.hdf5")) as f:
+        got = np.asarray(f["/xambg"])
+    assert np.array_equal(got, want)
+    reader.close()
