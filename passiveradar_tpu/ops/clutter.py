@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from passiveradar_tpu.ops.mixer import frequency_shift
+from passiveradar_tpu.ops.zoomfft import partial_ifft, sparse_fft
 
 
 def _next_pow2(n: int) -> int:
@@ -77,6 +78,42 @@ def _solve_complex(a: jnp.ndarray, b: jnp.ndarray, assume_pd: bool = False) -> j
     else:
         sol = jnp.linalg.solve(big, rhs)
     m = a.shape[0]
+    return jax.lax.complex(sol[:m], sol[m:]).astype(jnp.complex64)
+
+
+def _toeplitz_real_embedding(c: jnp.ndarray) -> jnp.ndarray:
+    """Real 2M×2M embedding of the Hermitian Toeplitz matrix with column c."""
+    m = c.shape[0]
+    d = np.arange(m)[:, None] - np.arange(m)[None, :]
+    cg = c[jnp.asarray(np.abs(d))]
+    t = jnp.where(jnp.asarray(d >= 0), cg, jnp.conj(cg))
+    tr, ti = jnp.real(t), jnp.imag(t)
+    return jnp.block([[tr, -ti], [ti, tr]])
+
+
+def _toeplitz_cholesky(c: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky factor of the real embedding (precomputable per matrix)."""
+    return jnp.linalg.cholesky(_toeplitz_real_embedding(c))
+
+
+def _toeplitz_inverse(c: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse of the real embedding via Cholesky.
+
+    Triangular solves are latency-bound scans on TPU; inside sequential
+    per-bin loops it is much faster to precompute the inverse (batched, off
+    the critical path) and reduce each solve to one matvec on the MXU.
+    """
+    big = _toeplitz_real_embedding(c)
+    chol = jnp.linalg.cholesky(big)
+    eye = jnp.eye(big.shape[0], dtype=big.dtype)
+    y = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+def _inv_apply_complex(inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    rhs = jnp.concatenate([jnp.real(b), jnp.imag(b)])
+    sol = inv @ rhs
+    m = b.shape[0]
     return jax.lax.complex(sol[:m], sol[m:]).astype(jnp.complex64)
 
 
@@ -186,14 +223,60 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     freqs = jnp.asarray(np.asarray(doppler_bins, np.float32))
     t = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
 
-    def body(cur, f):
-        theta = 2.0 * np.pi * f * t
-        mod = ref * jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-        out, _ = _toeplitz_ls_pass(jnp.roll(mod, -peek), cur, m)
-        return out, None
+    # The Toeplitz system matrix of each pass depends only on the (modulated)
+    # reference channel — never on the surveillance residual — so every bin's
+    # autocorrelation and Cholesky factor is computed up front in one batched
+    # shot; the sequential scan then only does the cheap per-bin work
+    # (cross-correlation, two triangular solves, clutter subtraction).
+    theta = 2.0 * np.pi * freqs[:, None] * t[None, :]
+    rs_all = jnp.roll(ref[None, :] * jax.lax.complex(jnp.cos(theta),
+                                                     jnp.sin(theta)),
+                      -peek, axis=1)                    # (n_bins, N)
+    f_rs_all = jnp.fft.fft(rs_all, axis=1)
+    tails = rs_all[:, n - m:]
+    ac_all = jnp.fft.ifft(f_rs_all * jnp.conj(f_rs_all), axis=1)[:, :m] \
+        - jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))(rs_all[:, :m], tails)
+    inv_all = jax.vmap(_toeplitz_inverse)(ac_all)
 
-    out, _ = jax.lax.scan(body, srv, freqs)
-    return out
+    # Δcc kernels: R_b[j, t] = conj(rs_b[t-j]) for t ≥ j — the effect of a
+    # head-supported time correction on the first m correlation lags
+    jj = np.arange(m)[:, None]
+    tt = np.arange(m)[None, :]
+    didx = tt - jj
+    r_all = jnp.where(jnp.asarray(didx >= 0),
+                      jnp.conj(rs_all[:, jnp.asarray(np.maximum(didx, 0))]), 0)
+
+    # The surveillance residual is carried in the FREQUENCY domain plus an
+    # m-sparse time-domain head correction (cur = ifft(f_cur) + corr on the
+    # first m samples), so each bin needs only zoom-FFT work — no full
+    # N-point transform ever runs inside the bin loop.
+    f_cur0 = jnp.fft.fft(srv)
+    head0 = srv[:m]          # ifft(f_cur0)[:m] — the corr part starts at zero
+
+    def body(carry, xs):
+        f_cur, ifft_head, corr = carry
+        f_rs, rs_tail, inv, r_mat = xs
+        # linear correlation of cur = ifft(f_cur) + scatter(corr):
+        #   circular(f_cur part) + R·corr (the corr's in-range lags; its wrap
+        #   lags cancel against the wrap subtraction, which therefore applies
+        #   to the ifft part only)
+        cc = partial_ifft(f_cur * jnp.conj(f_rs), m) \
+            + r_mat @ corr \
+            - _tri_corr_wrap(ifft_head, rs_tail, m)
+        taps = _inv_apply_complex(inv, cc)
+        f_clutter = f_rs * sparse_fft(taps, n)
+        head_fix = _tri_conv_wrap(taps, rs_tail, m)
+        f_cur = f_cur - f_clutter
+        ifft_head = ifft_head - partial_ifft(f_clutter, m)
+        corr = corr + head_fix
+        return (f_cur, ifft_head, corr), None
+
+    (f_cur, _, corr), _ = jax.lax.scan(
+        body, (f_cur0, head0, jnp.zeros(m, srv.dtype)),
+        (f_rs_all, tails, inv_all, r_all))
+    out = jnp.fft.ifft(f_cur)
+    out = out.at[:m].add(corr)
+    return out.astype(jnp.complex64)
 
 
 def _circular_gram_and_rhs(ref, srv, filter_len: int, peek: int):
