@@ -80,26 +80,36 @@ def _polyphase_bank(h_key, up: int, down: int):
 
 
 def _upfirdn_matmul(planes: jnp.ndarray, h_key, up: int, down: int) -> jnp.ndarray:
-    """upfirdn core as a polyphase matmul. planes: (B, n) real rows."""
+    """upfirdn core as polyphase row-block matmuls. planes: (B, n) real rows.
+
+    out[g·up+p] = Σ_wi B[p, wi]·xp[g·down + wi] is evaluated as
+    Σ_i (row-block g+i of the reshaped input) @ Bᵢᵀ with Bᵢ the i-th
+    down-sized column slab of the bank — the input is only ever *reshaped*
+    (never materialised as an im2col window matrix).
+    """
     h = _TAP_CACHE[h_key]
     n_in = planes.shape[1]
     n_out = _upfirdn_output_len(len(h), n_in, up, down)
     bank, q_min, w = _polyphase_bank(h_key, up, down)
     groups = -(-n_out // up)
-    rows_per_win = -(-w // down) + 1
+    n_slabs = -(-w // down)
     # x index of window element (g, wi) is g*down + q_min + wi; q_min <= 0
     # always (the p=0 phase reaches back len_h-1 taps), so left-padding by
     # -q_min aligns window row g with padded index g*down.
     pad_l = -q_min
     assert q_min <= 0
-    total = (groups + rows_per_win) * down
+    total = (groups + n_slabs) * down
     pad_r = max(0, total - (n_in + pad_l))
     xp = jnp.pad(planes, ((0, 0), (pad_l, pad_r)))[:, :total]
-    r = xp.reshape(planes.shape[0], groups + rows_per_win, down)
-    win = jnp.concatenate([r[:, i:i + groups] for i in range(rows_per_win)],
-                          axis=2)[:, :, :w]             # (B, G, W)
-    out = jnp.einsum("bgw,pw->bgp", win, jnp.asarray(bank),
-                     preferred_element_type=jnp.float32)
+    r = xp.reshape(planes.shape[0], groups + n_slabs, down)
+    bank_pad = np.zeros((up, n_slabs * down), np.float32)
+    bank_pad[:, :w] = bank
+    out = None
+    for i in range(n_slabs):
+        slab = jnp.asarray(bank_pad[:, i * down:(i + 1) * down])
+        part = jnp.einsum("bgc,pc->bgp", r[:, i:i + groups], slab,
+                          preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
     return out.reshape(planes.shape[0], groups * up)[:, :n_out]
 
 
