@@ -42,3 +42,7 @@ def make_complex(rng, n, dtype=np.complex64):
 @pytest.fixture
 def cnoise():
     return make_complex
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration tests")
