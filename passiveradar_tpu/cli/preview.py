@@ -17,13 +17,23 @@ from passiveradar_tpu.ops.mixer import frequency_shift
 from passiveradar_tpu.ops.xcorr import xcorr
 
 
-def welch_psd(x: jnp.ndarray, nperseg: int = 4096):
-    """Simple mean-of-periodograms PSD (device-side)."""
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("nperseg",))
+def _welch_core(x, nperseg: int):
     n = (x.shape[0] // nperseg) * nperseg
     segs = x[:n].reshape(-1, nperseg)
     win = jnp.hanning(nperseg).astype(jnp.float32)
     spec = jnp.fft.fftshift(jnp.fft.fft(segs * win, axis=1), axes=1)
-    return np.asarray(10 * jnp.log10(jnp.mean(jnp.abs(spec) ** 2, axis=0) + 1e-12))
+    return 10 * jnp.log10(jnp.mean(jnp.abs(spec) ** 2, axis=0) + 1e-12)
+
+
+def welch_psd(x: jnp.ndarray, nperseg: int = 4096):
+    """Simple mean-of-periodograms PSD (jitted — eager complex ops are
+    unsupported on some remote backends)."""
+    return np.asarray(_welch_core(x, nperseg))
 
 
 def main(argv=None):
@@ -51,7 +61,7 @@ def main(argv=None):
     ch_psd_srv = welch_psd(srv_ch, 1024)
 
     nlag = 2000
-    xc = np.abs(np.asarray(xcorr(ref_ch, srv_ch, nlag, nlag)))
+    xc = np.asarray(jax.jit(jnp.abs)(xcorr(ref_ch, srv_ch, nlag, nlag)))
 
     import matplotlib
     matplotlib.use("Agg")

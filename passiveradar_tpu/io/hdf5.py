@@ -28,7 +28,6 @@ import numpy as np
 
 from passiveradar_tpu.config import RadarConfig
 from passiveradar_tpu.io.native import demux2, i16_to_f32
-from passiveradar_tpu.ops.util import deinterleave_iq
 from passiveradar_tpu.ops.xcorr import find_channel_offset
 
 
@@ -58,16 +57,20 @@ class CaptureReader:
 
     # -- channel alignment --------------------------------------------------
     def _estimate_offset(self, max_lags: int) -> int:
-        """Reference main.py:50-54 / 79-83: offset from the capture head."""
+        """Reference main.py:50-54 / 79-83: offset from the capture head.
+
+        Host-side numpy views only (eager complex ops are unsupported on some
+        remote backends); the correlation itself runs jitted on device.
+        """
         if self.interleaved:
             head = min(20 * self.cfg.cpi_samples, len(self._data))
             refc, srvc = demux2(self._to_f32(np.asarray(self._data[:head])),
                                 self.int16_scale)
         else:
             head = min(10 * self.cfg.cpi_samples, len(self._ref),
-                       len(self._srv))
-            refc = deinterleave_iq(self._to_f32(np.asarray(self._ref[:head])))
-            srvc = deinterleave_iq(self._to_f32(np.asarray(self._srv[:head])))
+                       len(self._srv)) // 2 * 2
+            refc = self._to_f32(np.asarray(self._ref[:head])).view(np.complex64)
+            srvc = self._to_f32(np.asarray(self._srv[:head])).view(np.complex64)
         nl = min(max_lags, refc.shape[0] - 1)
         return int(find_channel_offset(refc, srvc, 1, nl))
 

@@ -2,7 +2,26 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+_c2pair = jax.jit(lambda x: jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1))
+
+
+def to_host_complex(x) -> np.ndarray:
+    """Fetch a complex device array to host numpy.
+
+    Some remote backends cannot transfer complex dtypes device→host; the
+    value is split into a float32 re/im pair on device (jitted) and
+    reinterpreted on the host — bit-identical to a direct fetch.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    if not jnp.iscomplexobj(x):
+        return np.asarray(x)
+    pair = np.ascontiguousarray(np.asarray(_c2pair(x), np.float32))
+    return pair.view(np.complex64)[..., 0]
 
 
 def deinterleave_iq(x: jnp.ndarray) -> jnp.ndarray:

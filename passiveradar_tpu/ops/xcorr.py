@@ -44,38 +44,74 @@ def xcorr(s1: jnp.ndarray, s2: jnp.ndarray, nlead: int, nlag: int) -> jnp.ndarra
     return jnp.real(out).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("nl",))
-def _offset_lags(b1, b2, nl: int):
+@functools.partial(jax.jit, static_argnames=("nd", "nl"))
+def _offset_core(p1, p2, nd: int, nl: int):
+    """Offset argmax from float32 IQ-pair inputs (n, 2).
+
+    Everything — complexification, decimation, correlation, argmax — runs in
+    one compiled program: remote backends may support complex dtypes only
+    inside compiled code and may not transfer them at all.
+    """
+    b1 = jax.lax.complex(p1[:, 0], p1[:, 1])
+    b2 = jax.lax.complex(p2[:, 0], p2[:, 1])
+    if nd > 1:
+        b1 = fir_decimate(b1, nd)
+        b2 = fir_decimate(b2, nd)
     m = b1.shape[0]
+    nl = min(nl, m)
     fft_len = _next_pow2(m + nl + 1)
     f1 = jnp.fft.fft(b1, fft_len)
     f2 = jnp.fft.fft(b2, fft_len)
     full = jnp.fft.ifft(f1 * jnp.conj(f2))
     idx = np.mod(np.arange(-nl, nl + 1), fft_len)
-    return jnp.abs(full[jnp.asarray(idx)])
+    return jnp.argmax(jnp.abs(full[jnp.asarray(idx)]))
 
 
 def find_channel_offset(s1: jnp.ndarray, s2: jnp.ndarray, nd: int,
-                        nl: int) -> int:
+                        nl: int, max_fft: int = 1 << 22) -> int:
     """Estimate the constant sample offset between two channels.
 
     Reference semantics (signal_utils.py:73-78): decimate both channels by
     ``nd``, take |xcorr| over lags -nl..+nl, return (argmax - nl) * nd.
-    Divergence: for nd > 1 the pre-correlation anti-alias filter is the FIR
-    decimator rather than scipy's default IIR cheby1 — the argmax location is
-    unaffected; for nd == 1 no filtering is applied.
+    Divergences: for nd > 1 the pre-correlation anti-alias filter is the FIR
+    decimator rather than scipy's default IIR cheby1 (the argmax location is
+    unaffected; for nd == 1 no filtering is applied), and searches whose FFT
+    would exceed ``max_fft`` points (e.g. the reference's one-shot ±5M-lag
+    correlation, main.py:54) run as a coarse decimated pass refined by a
+    narrow exact pass — same answer, bounded memory.
     """
+    # All slicing/assembly happens host-side in numpy: some remote backends
+    # implement complex dtypes only inside compiled programs, so eager
+    # complex ops must never touch the device (jitted kernels are fine).
+    s1 = np.asarray(s1)
+    s2 = np.asarray(s2)
     nd = int(nd)
-    if nd > 1:
-        b1 = fir_decimate(s1, nd)
-        b2 = fir_decimate(s2, nd)
-    else:
-        b1, b2 = jnp.asarray(s1), jnp.asarray(s2)
-    nl = int(min(nl, b1.shape[0]))
-    mags = _offset_lags(b1, b2, nl)
+    n = int(s1.shape[0])
+    needed = _next_pow2(n // max(nd, 1) + int(nl) + 1)
+    if needed > max_fft:
+        # decimate enough that the coarse search fits, then refine
+        extra = 1
+        while _next_pow2(n // (nd * extra) + int(nl) // extra + 1) > max_fft:
+            extra *= 2
+        coarse = find_channel_offset(s1, s2, nd * extra, int(nl) // extra,
+                                     max_fft)
+        r1, r2 = apply_offset(s1, s2, coarse)
+        # refine on a truncated slice — only a ±4·nd·extra window of lags is
+        # left, so a bounded stretch of signal suffices
+        window = 4 * nd * extra
+        keep = min(int(r1.shape[0]), max(8 * window, (max_fft // 2) * nd))
+        fine = find_channel_offset(r1[:keep], r2[:keep], nd,
+                                   max(window // nd, 1), max_fft)
+        return coarse + fine
+
+    def pairs(x):
+        x = np.ascontiguousarray(x.astype(np.complex64, copy=False))
+        return x.view(np.float32).reshape(-1, 2)
+
+    nl = int(min(nl, s1.shape[0] // max(nd, 1)))
     # out[j] = sum b1[t] conj(b2[t - (j - nl)]): argmax j means b2 lags b1 by
     # (j - nl) samples, matching the reference's (argmax - nl) * nd.
-    return int(jnp.argmax(mags)) * nd - nl * nd
+    return int(_offset_core(pairs(s1), pairs(s2), nd, nl)) * nd - nl * nd
 
 
 def offset_compensation(x1: jnp.ndarray, x2: jnp.ndarray, ns: int, ndec: int,
@@ -104,12 +140,13 @@ def channel_preprocessing(sig: jnp.ndarray, dec: int, fc: float,
     return fir_decimate(frequency_shift(iq, fc, fs), dec)
 
 
-def apply_offset(ref: jnp.ndarray, srv: jnp.ndarray, offset: int):
+def apply_offset(ref, srv, offset: int):
     """Trim two channels so they align given ``offset`` = find_channel_offset.
 
     Matches the slicing in the reference orchestration (main.py:67-72,87-102):
     positive offset drops the first ``offset`` samples of ref and the last of
-    srv, negative offset the converse.
+    srv, negative offset the converse. Works on numpy or jax arrays (pure
+    slicing — on numpy inputs nothing touches the device).
     """
     if offset > 0:
         return ref[offset:], srv[:-offset]

@@ -30,6 +30,7 @@ from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
 from passiveradar_tpu.ops.clutter import ls_filter_multiple
 from passiveradar_tpu.ops.fir import resample_poly
 from passiveradar_tpu.ops.mixer import block_phase_offsets, frequency_shift
+from passiveradar_tpu.ops.util import to_host_complex
 from passiveradar_tpu.parallel.halo import overlap_frames
 
 
@@ -43,15 +44,22 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
                      cfg: RadarConfig) -> jnp.ndarray:
     """Deinterleave → down-convert → resample one channel's frame batch.
 
-    raw: (F, input_chunk_length) float32 interleaved IQ, or already-complex
-    (F, input_chunk_length//2) complex64 (ingest reinterprets the interleaved
-    stream as complex64 with a free host-side view — [I,Q] pairs are
-    bit-identical to complex64, and stride-2 deinterleaving on device costs a
-    full relayout). phases: (F,) per-frame mixing phases from
+    raw: (F, input_chunk_length) float32 interleaved IQ, already-complex
+    (F, input_chunk_length//2) complex64, or (F, input_chunk_length//2, 2)
+    float32 IQ pairs (the preferred host-fed form: bit-identical to complex64
+    via a free numpy view, and float transfers work on every backend).
+    phases: (F,) per-frame mixing phases from
     block_phase_offsets. Returns (F, output_chunk_length) complex64 at the
     IF rate.
     """
-    iq = raw if jnp.iscomplexobj(raw) else _deinterleave_batch(raw)
+    if jnp.iscomplexobj(raw):
+        iq = raw
+    elif raw.ndim == 3:
+        # (F, L//2, 2) float32 IQ pairs — the host↔device transfer format
+        # (some remote backends cannot transfer complex dtypes at all)
+        iq = jax.lax.complex(raw[..., 0], raw[..., 1]).astype(jnp.complex64)
+    else:
+        iq = _deinterleave_batch(raw)
     shifted = frequency_shift(iq, cfg.offset_freq, cfg.input_sample_rate,
                               phases)
     resampled = jax.vmap(
@@ -155,15 +163,19 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
             batches, prefetch):
         phases = frame_phases(cfg, list(range(lo, hi)))
-        ref_raw = jnp.asarray(ref_raw)
-        srv_raw = jnp.asarray(srv_raw)
+        # ship complex IQ as float32 pair views (free reinterpretation)
+        ref_raw = jnp.asarray(ref_raw.view(np.float32).reshape(
+            ref_raw.shape[0], -1, 2))
+        srv_raw = jnp.asarray(srv_raw.view(np.float32).reshape(
+            srv_raw.shape[0], -1, 2))
         if sharding is not None:
             ref_raw = jax.device_put(ref_raw, sharding)
             srv_raw = jax.device_put(srv_raw, sharding)
         maps = process_frames(ref_raw, srv_raw, jnp.asarray(phases), cfg)
         # margin frames have wrong (batch-local zero) halos unless they are
-        # the true capture edges — drop them.
-        maps = np.asarray(maps)[start - lo:start - lo + count]
+        # the true capture edges — drop them. (to_host_complex: some remote
+        # backends cannot fetch complex dtypes directly)
+        maps = to_host_complex(maps)[start - lo:start - lo + count]
         writer.write(maps, start)
         done += count
         if progress:

@@ -14,6 +14,7 @@ is carried explicitly, so the processor runs indefinitely with O(1) memory.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -24,7 +25,32 @@ from passiveradar_tpu.config import RadarConfig
 from passiveradar_tpu.detect.trackers import init_tracks, multitarget_step
 from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
 from passiveradar_tpu.ops.cfar import cfar_2d
+from passiveradar_tpu.ops.util import to_host_complex
 from passiveradar_tpu.pipeline import clutter_batch, frame_phases, preprocess_batch
+
+
+# jitted assembly helpers: eager complex slicing/concatenation is unsupported
+# on some remote backends, so every array manipulation lives inside jit
+@functools.partial(jax.jit, static_argnames=("h",))
+def _edges(ref_c, srv_c, h: int):
+    return (ref_c[0, -h:], srv_c[0, -h:], ref_c[0, :h], srv_c[0, :h])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fw", "gw"))
+def _assemble_caf_cfar(left_r, left_s, ref_c, srv_c, right_r, right_s,
+                       window, cfg, fw: int, gw: int):
+    ref_in = jnp.concatenate([left_r, ref_c[0], right_r])
+    srv_in = jnp.concatenate([left_s, srv_c[0], right_s])
+    caf = fast_xambg(ref_in, srv_in, cfg.num_range_cells,
+                     cfg.num_doppler_cells, window=window)
+    cf = cfar_2d(jnp.abs(caf), fw, gw)
+    return caf, cf
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def _zeros_halo(ref_c, h: int):
+    z = jnp.zeros(h, ref_c.dtype)
+    return z, z
 
 
 @dataclasses.dataclass
@@ -54,33 +80,44 @@ class StreamingProcessor:
     def _clean(self, raw_ref: np.ndarray, raw_srv: np.ndarray):
         cfg = self.cfg
         phases = jnp.asarray(frame_phases(cfg, [self._index]))
-        r = preprocess_batch(jnp.asarray(raw_ref)[None], phases, cfg)
-        s = preprocess_batch(jnp.asarray(raw_srv)[None], phases, cfg)
-        s = clutter_batch(r, s, cfg)
-        return r[0], s[0]
 
-    def _finish(self, prev, cur_head, last: bool = False) -> StreamResult:
+        def ship(raw):
+            raw = np.asarray(raw)
+            if np.iscomplexobj(raw):
+                # complex transfers are unsupported on some backends: ship
+                # the bit-identical float32 pair view
+                raw = raw.view(np.float32).reshape(-1, 2)[None]
+            else:
+                raw = raw[None]
+            return jnp.asarray(raw)
+
+        r = preprocess_batch(ship(raw_ref), phases, cfg)
+        s = preprocess_batch(ship(raw_srv), phases, cfg)
+        s = clutter_batch(r, s, cfg)
+        return r, s
+
+    def _finish(self, prev, cur, last: bool = False) -> StreamResult:
         cfg = self.cfg
         idx, ref_c, srv_c = prev
         h = cfg.window_overlap
-        zeros = jnp.zeros(h, ref_c.dtype)
         if idx == 0:
-            left_r = left_s = zeros
+            left_r, left_s = _zeros_halo(ref_c, h)
         else:
             left_r, left_s = self._left_tail
-        right_r = zeros if last else cur_head[0][:h]
-        right_s = zeros if last else cur_head[1][:h]
-        ref_in = jnp.concatenate([left_r, ref_c, right_r])
-        srv_in = jnp.concatenate([left_s, srv_c, right_s])
-        caf = fast_xambg(ref_in, srv_in, cfg.num_range_cells,
-                         cfg.num_doppler_cells, window=self._window)
-        cf = cfar_2d(jnp.abs(caf), *self.cfar_kernel)
+        if last:
+            right_r, right_s = _zeros_halo(ref_c, h)
+        else:
+            _, _, right_r, right_s = _edges(cur[0], cur[1], h)
+        caf, cf = _assemble_caf_cfar(left_r, left_s, ref_c, srv_c,
+                                     right_r, right_s, self._window, cfg,
+                                     *self.cfar_kernel)
         self._tracks = multitarget_step(self._tracks, cf, self._extent,
                                         self.n_tracks, cfg.max_measurements)
-        self._left_tail = (ref_c[-h:], srv_c[-h:])
+        tail_r, tail_s, _, _ = _edges(ref_c, srv_c, h)
+        self._left_tail = (tail_r, tail_s)
         return StreamResult(
             frame_index=idx,
-            caf=np.asarray(caf),
+            caf=to_host_complex(caf),
             cfar=np.asarray(cf),
             tracks=jax.tree.map(np.asarray, self._tracks),
         )

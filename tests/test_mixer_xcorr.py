@@ -151,3 +151,17 @@ def test_channel_preprocessing_shapes(rng):
     out = np.asarray(channel_preprocessing(sig, 4, 100.0, 8192.0))
     assert out.shape == (1024,)
     assert out.dtype == np.complex64
+
+
+def test_find_channel_offset_hierarchical(rng):
+    """Large-lag searches split into coarse+fine and still find the offset."""
+    n = 200_000
+    base = np.convolve(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)),
+        np.ones(6) / 6, "same").astype(np.complex64)
+    off = 1234
+    ref = base[off:off + 150_000]
+    srv = base[:150_000]
+    # force the hierarchical path with a small max_fft
+    est = find_channel_offset(ref, srv, 1, 100_000, max_fft=1 << 16)
+    assert est == -off
