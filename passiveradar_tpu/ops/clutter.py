@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from passiveradar_tpu.ops.mixer import frequency_shift
 from passiveradar_tpu.ops.zoomfft import partial_ifft, sparse_fft
 
 
