@@ -213,3 +213,27 @@ def test_resume_after_interruption(tiny_cfg, tmp_path):
         got = np.asarray(f["/xambg"])
     assert np.array_equal(got, want)
     reader.close()
+
+
+def test_non_overlap_mode_end_to_end(rng):
+    """overlap_cpi=False (fixed relative to the reference, whose non-overlap
+    branch crashes on an undefined key — config.py:77): full CPIs, no halo."""
+    params = dict(TINY, overlap_cpi=False, num_frames=3)
+    cfg = derive_config(params)
+    assert cfg.window_overlap == 0
+    n_frames = 3
+    tgt = Target(delay_samples=40, doppler_hz=20.0, amplitude=0.15)
+    ref, srv = _make_frames(cfg, n_frames, (tgt,))
+    phases = frame_phases(cfg, list(range(n_frames)))
+    maps = np.abs(np.asarray(process_frames(
+        jnp.asarray(ref), jnp.asarray(srv), jnp.asarray(phases), cfg)))
+    assert maps.shape == (n_frames, cfg.num_doppler_cells,
+                          cfg.num_range_cells + 1)
+    delay_if = tgt.delay_samples * cfg.resamp_up / cfg.resamp_dn
+    expect_col = cfg.num_range_cells - round(delay_if)
+    expect_row = cfg.num_doppler_cells // 2 - round(
+        tgt.doppler_hz / cfg.doppler_cell_width)
+    for f in range(n_frames):
+        r, c = np.unravel_index(np.argmax(maps[f]), maps[f].shape)
+        assert abs(r - expect_row) <= 1
+        assert abs(c - expect_col) <= 1
