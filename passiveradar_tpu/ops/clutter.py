@@ -235,6 +235,11 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     tails = rs_all[:, n - m:]
     ac_all = jnp.fft.ifft(f_rs_all * jnp.conj(f_rs_all), axis=1)[:, :m] \
         - jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))(rs_all[:, :m], tails)
+    # vanishing diagonal guard: relative 1e-25 is rounded away entirely for
+    # real captures (below float32 eps) but keeps the Cholesky finite for
+    # all-zero frames (batch padding)
+    guard = 1e-25 * jnp.maximum(1.0, jnp.abs(ac_all[:, 0]))
+    ac_all = ac_all.at[:, 0].add(guard.astype(ac_all.dtype))
     inv_all = jax.vmap(_toeplitz_inverse)(ac_all)
 
     # Δcc kernels: R_b[j, t] = conj(rs_b[t-j]) for t ≥ j — the effect of a

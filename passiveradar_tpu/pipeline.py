@@ -142,8 +142,12 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     total = min(reader.num_frames, cfg.num_frames)
     bf = batch_frames or cfg.frame_batch
 
-    # batch schedule with one-frame halo margins; resume skips batches the
-    # writer already holds
+    # Every dispatch uses ONE fixed shape of bf+2 frames — a one-frame halo
+    # margin on each side, zero-padded at the capture edges and on the final
+    # partial batch — so exactly one XLA program is ever compiled (zero
+    # margin frames reproduce dask's boundary=0 semantics, and the clutter
+    # solve is guarded against all-zero frames). Resume skips batches the
+    # writer already holds.
     batches = []
     done = getattr(writer, "frames_done", 0)
     while done < total:
@@ -159,23 +163,32 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     prefetch = PrefetchReader(reader, [(lo, hi - lo) for _, _, lo, hi in batches],
                               mode="iq")
 
+    lc = cfg.input_chunk_length // 2
     done = getattr(writer, "frames_done", 0)
     for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
             batches, prefetch):
-        phases = frame_phases(cfg, list(range(lo, hi)))
-        # ship complex IQ as float32 pair views (free reinterpretation)
-        ref_raw = jnp.asarray(ref_raw.view(np.float32).reshape(
-            ref_raw.shape[0], -1, 2))
-        srv_raw = jnp.asarray(srv_raw.view(np.float32).reshape(
-            srv_raw.shape[0], -1, 2))
+        # place the read frames into the fixed (bf+2)-frame buffer at the
+        # offset that aligns global frame `start` with buffer slot 1
+        buf_ref = np.zeros((bf + 2, lc, 2), np.float32)
+        buf_srv = np.zeros((bf + 2, lc, 2), np.float32)
+        phases = np.zeros(bf + 2, np.float32)
+        slot0 = 1 - (start - lo)
+        nread = hi - lo
+        buf_ref[slot0:slot0 + nread] = ref_raw.view(np.float32).reshape(
+            nread, lc, 2)
+        buf_srv[slot0:slot0 + nread] = srv_raw.view(np.float32).reshape(
+            nread, lc, 2)
+        phases[slot0:slot0 + nread] = frame_phases(cfg, list(range(lo, hi)))
+
+        ref_d = jnp.asarray(buf_ref)
+        srv_d = jnp.asarray(buf_srv)
         if sharding is not None:
-            ref_raw = jax.device_put(ref_raw, sharding)
-            srv_raw = jax.device_put(srv_raw, sharding)
-        maps = process_frames(ref_raw, srv_raw, jnp.asarray(phases), cfg)
-        # margin frames have wrong (batch-local zero) halos unless they are
-        # the true capture edges — drop them. (to_host_complex: some remote
-        # backends cannot fetch complex dtypes directly)
-        maps = to_host_complex(maps)[start - lo:start - lo + count]
+            ref_d = jax.device_put(ref_d, sharding)
+            srv_d = jax.device_put(srv_d, sharding)
+        maps = process_frames(ref_d, srv_d, jnp.asarray(phases), cfg)
+        # slots 1..1+count hold the valid frames (margins/padding dropped);
+        # to_host_complex: some remote backends cannot fetch complex directly
+        maps = to_host_complex(maps)[1:1 + count]
         writer.write(maps, start)
         done += count
         if progress:
