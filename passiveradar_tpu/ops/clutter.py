@@ -233,7 +233,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
                       -peek, axis=1)                    # (n_bins, N)
     f_rs_all = jnp.fft.fft(rs_all, axis=1)
     tails = rs_all[:, n - m:]
-    ac_all = jnp.fft.ifft(f_rs_all * jnp.conj(f_rs_all), axis=1)[:, :m] \
+    ac_all = partial_ifft(f_rs_all * jnp.conj(f_rs_all), m) \
         - jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))(rs_all[:, :m], tails)
     # vanishing diagonal guard: relative 1e-25 is rounded away entirely for
     # real captures (below float32 eps) but keeps the Cholesky finite for
