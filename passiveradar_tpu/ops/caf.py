@@ -79,10 +79,18 @@ def _caf_segment_tables(ref, srv, window, range_bins: int, freq_bins: int):
     a_pad = jnp.pad(a_pad, (0, rows * d - a_pad.shape[0]))
     aa = a_pad.reshape(rows, d)
 
-    # sext[u] = conj(srv[(u - half) mod n]) — circular, matching np.roll
-    idx = np.mod(np.arange(rows * d) - half, n)
-    sext = jnp.conj(srv)[jnp.asarray(idx)]
-    pp = sext.reshape(rows, d)
+    # sext[u] = conj(srv[(u - half) mod n]) — circular, matching np.roll.
+    # Built by concatenation (a circular shift), never a gather: large
+    # gathers are slow on TPU.
+    total = rows * d
+    sc = jnp.conj(srv)
+    parts = [sc[n - half:]]
+    remaining = total - half
+    while remaining > n:
+        parts.append(sc)
+        remaining -= n
+    parts.append(sc[:remaining])
+    pp = jnp.concatenate(parts).reshape(rows, d)
     return aa, pp, d, n_extra
 
 
