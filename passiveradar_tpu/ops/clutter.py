@@ -8,8 +8,10 @@ TPU-native re-architecture of the reference's clutter_removal.py:
   matrix columns are *circular* shifts, its Gram matrix and right-hand side
   are exactly circular auto/cross-correlations — so here everything is
   computed with three FFTs and a small dense Hermitian solve, never
-  materialising the N×L matrix. The complex solve is embedded as a real
-  2M×2M system ([[Re,-Im],[Im,Re]]) so it runs on TPU's float32 linalg.
+  materialising the N×L matrix. Multi-bin pipelines factor every bin's
+  Toeplitz system up front (batched complex Cholesky inverses) so the
+  sequential bin scan only does matvecs; the general-purpose toeplitz_solve
+  uses a real 2M×2M embedding for LU fallback support.
 
 * The Toeplitz (WSS) variant solves the same small system built from *linear*
   correlation lags, matching scipy.solve_toeplitz semantics.
@@ -80,40 +82,19 @@ def _solve_complex(a: jnp.ndarray, b: jnp.ndarray, assume_pd: bool = False) -> j
     return jax.lax.complex(sol[:m], sol[m:]).astype(jnp.complex64)
 
 
-def _toeplitz_real_embedding(c: jnp.ndarray) -> jnp.ndarray:
-    """Real 2M×2M embedding of the Hermitian Toeplitz matrix with column c."""
+def _toeplitz_matrix(c: jnp.ndarray) -> jnp.ndarray:
+    """Dense Hermitian Toeplitz matrix with first column c (complex)."""
     m = c.shape[0]
     d = np.arange(m)[:, None] - np.arange(m)[None, :]
     cg = c[jnp.asarray(np.abs(d))]
-    t = jnp.where(jnp.asarray(d >= 0), cg, jnp.conj(cg))
-    tr, ti = jnp.real(t), jnp.imag(t)
-    return jnp.block([[tr, -ti], [ti, tr]])
+    return jnp.where(jnp.asarray(d >= 0), cg, jnp.conj(cg))
 
 
-def _toeplitz_cholesky(c: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky factor of the real embedding (precomputable per matrix)."""
-    return jnp.linalg.cholesky(_toeplitz_real_embedding(c))
-
-
-def _toeplitz_inverse(c: jnp.ndarray) -> jnp.ndarray:
-    """Explicit inverse of the real embedding via Cholesky.
-
-    Triangular solves are latency-bound scans on TPU; inside sequential
-    per-bin loops it is much faster to precompute the inverse (batched, off
-    the critical path) and reduce each solve to one matvec on the MXU.
-    """
-    big = _toeplitz_real_embedding(c)
-    chol = jnp.linalg.cholesky(big)
-    eye = jnp.eye(big.shape[0], dtype=big.dtype)
-    y = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
-    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
-
-
-def _inv_apply_complex(inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    rhs = jnp.concatenate([jnp.real(b), jnp.imag(b)])
-    sol = inv @ rhs
-    m = b.shape[0]
-    return jax.lax.complex(sol[:m], sol[m:]).astype(jnp.complex64)
+def _toeplitz_inverse_c(c: jnp.ndarray) -> jnp.ndarray:
+    """Complex inverse of the Hermitian Toeplitz matrix (compiled complex
+    linalg works on TPU, and the m×m complex factorisation costs 8× less
+    than the 2m×2m real embedding)."""
+    return jnp.linalg.inv(_toeplitz_matrix(c))
 
 
 def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray,
@@ -240,7 +221,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     # all-zero frames (batch padding)
     guard = 1e-25 * jnp.maximum(1.0, jnp.abs(ac_all[:, 0]))
     ac_all = ac_all.at[:, 0].add(guard.astype(ac_all.dtype))
-    inv_all = jax.vmap(_toeplitz_inverse)(ac_all)
+    inv_all = jax.vmap(_toeplitz_inverse_c)(ac_all)
 
     # Δcc kernels: R_b[j, t] = conj(rs_b[t-j]) for t ≥ j — the effect of a
     # head-supported time correction on the first m correlation lags
@@ -267,7 +248,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
         cc = partial_ifft(f_cur * jnp.conj(f_rs), m) \
             + r_mat @ corr \
             - _tri_corr_wrap(ifft_head, rs_tail, m)
-        taps = _inv_apply_complex(inv, cc)
+        taps = (inv @ cc).astype(jnp.complex64)
         f_clutter = f_rs * sparse_fft(taps, n)
         head_fix = _tri_conv_wrap(taps, rs_tail, m)
         f_cur = f_cur - f_clutter
