@@ -91,10 +91,15 @@ def _toeplitz_matrix(c: jnp.ndarray) -> jnp.ndarray:
 
 
 def _toeplitz_inverse_c(c: jnp.ndarray) -> jnp.ndarray:
-    """Complex inverse of the Hermitian Toeplitz matrix (compiled complex
-    linalg works on TPU, and the m×m complex factorisation costs 8× less
-    than the 2m×2m real embedding)."""
-    return jnp.linalg.inv(_toeplitz_matrix(c))
+    """Complex inverse of the Hermitian Toeplitz matrix via Cholesky
+    (compiled complex linalg works on TPU; the m×m complex factorisation
+    costs 8× less than a 2m×2m real embedding, and Cholesky beats LU)."""
+    t = _toeplitz_matrix(c)
+    chol = jnp.linalg.cholesky(t)
+    eye = jnp.eye(t.shape[0], dtype=t.dtype)
+    y = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.conj(chol.T), y, lower=False)
 
 
 def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray,
