@@ -29,29 +29,36 @@ _SPLIT_K = 4096
 
 @functools.lru_cache(maxsize=64)
 def _phase_tables(c: float, n: int):
-    """Host-side split-precision constants for cycles(n) = frac(c*n)."""
+    """Host-side oscillator factor tables for e^{j2πc·n}.
+
+    With n = n1·K + n0, the oscillator factors exactly into
+    coarse[n1]·fine[n0]; both tables are tiny and computed in float64 here,
+    so the on-device per-sample work is a single complex multiply with
+    ~float32-quantisation phase error regardless of chunk length.
+    """
     n1_max = -(-n // _SPLIT_K)
-    coarse = np.mod(c * _SPLIT_K * np.arange(n1_max, dtype=np.float64), 1.0)
-    c_hi = np.floor(c * _SPLIT_K) / _SPLIT_K
-    c_lo = c - c_hi
-    return (coarse.astype(np.float32), np.float32(c_hi), np.float32(c_lo))
+    coarse_cycles = np.mod(c * _SPLIT_K * np.arange(n1_max, dtype=np.float64),
+                           1.0)
+    fine_cycles = np.mod(c * np.arange(_SPLIT_K, dtype=np.float64), 1.0)
+    coarse = np.exp(2j * np.pi * coarse_cycles).astype(np.complex64)
+    fine = np.exp(2j * np.pi * fine_cycles).astype(np.complex64)
+    return coarse, fine
 
 
 @functools.partial(jax.jit, static_argnames=("fc", "fs"))
 def _freq_shift_jit(x, phase_offset, fc: float, fs: float):
     n = x.shape[-1]
-    coarse_np, c_hi, c_lo = _phase_tables(float(fc) / float(fs), n)
-    # tile the sample axis as (n1, K) so the coarse table applies by
-    # broadcast instead of a per-sample gather (gathers are slow on TPU)
+    coarse_np, fine_np = _phase_tables(float(fc) / float(fs), n)
+    # the oscillator is an outer product of two small host-precomputed
+    # complex tables — one complex multiply per sample, no per-sample
+    # transcendentals, no gathers
     n1_max = len(coarse_np)
-    coarse = jnp.asarray(coarse_np)[:, None]                 # (n1, 1)
-    n0 = jnp.arange(_SPLIT_K, dtype=jnp.float32)[None, :]    # (1, K)
-    cycles = coarse + (c_hi * n0 + c_lo * n0)
-    cycles = cycles - jnp.floor(cycles)
-    theta = ((2.0 * np.pi) * cycles).reshape(n1_max * _SPLIT_K)[:n]
-    theta = theta + jnp.asarray(phase_offset, jnp.float32)[..., None]
-    osc = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-    return (x * osc).astype(jnp.complex64)
+    osc_c = jnp.asarray(coarse_np)
+    osc_f = jnp.asarray(fine_np)
+    osc = (osc_c[:, None] * osc_f[None, :]).reshape(n1_max * _SPLIT_K)[:n]
+    ph = jnp.asarray(phase_offset, jnp.float32)[..., None]
+    osc_p = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    return (x * osc * osc_p).astype(jnp.complex64)
 
 
 def frequency_shift(x: jnp.ndarray, fc: float, fs: float,
