@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import argparse
 
+import yaml
+
 from passiveradar_tpu.config import RadarConfig, load_config
 
 
@@ -19,7 +21,23 @@ def parser(description: str, modes=None) -> argparse.ArgumentParser:
 
 
 def load(args) -> RadarConfig:
-    return load_config(args.config)
+    try:
+        return load_config(args.config)
+    except FileNotFoundError:
+        raise SystemExit(f"error: configuration file not found: {args.config}")
+    except yaml.YAMLError as e:
+        raise SystemExit(f"error: malformed configuration {args.config}: {e}")
+
+
+def fail_on_missing_capture(fn):
+    """Wrap a CLI main so a missing/undreadable capture file exits with a
+    one-line error instead of an h5py traceback."""
+    def wrapped(argv=None):
+        try:
+            return fn(argv)
+        except FileNotFoundError as e:
+            raise SystemExit(f"error: {e}")
+    return wrapped
 
 
 def banner(cfg: RadarConfig) -> None:

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from passiveradar_tpu.cli.common import load, parser
+from passiveradar_tpu.cli.common import fail_on_missing_capture, load, parser
 from passiveradar_tpu.io.writers import load_maps
 from passiveradar_tpu.ops.cfar import cfar_2d
 from passiveradar_tpu.viz.render import render_frames, render_video
@@ -18,6 +18,7 @@ def cfar_stack(xambg: np.ndarray, fw: int = 18, gw: int = 4) -> np.ndarray:
     return np.moveaxis(cf, 0, 2)
 
 
+@fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - VIDEO RENDERER", modes=("video", "frames"))
     args = p.parse_args(argv)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from passiveradar_tpu.cli.common import load, parser
+from passiveradar_tpu.cli.common import fail_on_missing_capture, load, parser
 from passiveradar_tpu.io.hdf5 import CaptureReader
 from passiveradar_tpu.ops.fir import resample_poly
 from passiveradar_tpu.ops.mixer import frequency_shift
@@ -36,6 +36,7 @@ def welch_psd(x: jnp.ndarray, nperseg: int = 4096):
     return np.asarray(_welch_core(x, nperseg))
 
 
+@fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - SIGNAL PREVIEW")
     args = p.parse_args(argv)

@@ -8,12 +8,13 @@ from __future__ import annotations
 
 import time
 
-from passiveradar_tpu.cli.common import banner, load, parser
+from passiveradar_tpu.cli.common import fail_on_missing_capture, banner, load, parser
 from passiveradar_tpu.io.hdf5 import CaptureReader
 from passiveradar_tpu.io.writers import MapWriter, write_metadata
 from passiveradar_tpu.pipeline import run_capture
 
 
+@fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - MAIN PROCESSING")
     p.add_argument("--batch-frames", type=int, default=None,

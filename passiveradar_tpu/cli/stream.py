@@ -12,11 +12,12 @@ import time
 
 import numpy as np
 
-from passiveradar_tpu.cli.common import banner, load, parser
+from passiveradar_tpu.cli.common import fail_on_missing_capture, banner, load, parser
 from passiveradar_tpu.io.hdf5 import CaptureReader
 from passiveradar_tpu.streaming import StreamingProcessor
 
 
+@fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - STREAMING PROCESSOR")
     p.add_argument("--max-frames", type=int, default=None,

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from passiveradar_tpu.cli.common import load, parser
+from passiveradar_tpu.cli.common import fail_on_missing_capture, load, parser
 from passiveradar_tpu.cli.plot import cfar_stack
 from passiveradar_tpu.detect.trackers import multitarget_tracker
 from passiveradar_tpu.io.writers import load_maps
@@ -14,6 +14,7 @@ N_TRACKS = 10  # reference multitarget_kalman_tracker.py:60
 TRAIL = 20     # fading-trail length in the video overlay
 
 
+@fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - MULTITARGET TRACKER",
                modes=("plot", "video", "frames"))

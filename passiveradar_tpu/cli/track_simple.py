@@ -4,13 +4,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from passiveradar_tpu.cli.common import load, parser
+from passiveradar_tpu.cli.common import fail_on_missing_capture, load, parser
 from passiveradar_tpu.cli.plot import cfar_stack
 from passiveradar_tpu.detect.trackers import simple_target_tracker
 from passiveradar_tpu.io.writers import load_maps
 from passiveradar_tpu.viz.render import render_video
 
 
+@fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - SIMPLE TARGET TRACKER",
                modes=("plot", "video", "frames"))
