@@ -21,8 +21,16 @@ import functools
 import jax
 
 
+def _pairs(x) -> np.ndarray:
+    """complex64 host array → float32 (n, 2) pair view (complex transfers
+    are unsupported on some remote backends)."""
+    x = np.ascontiguousarray(np.asarray(x).astype(np.complex64, copy=False))
+    return x.view(np.float32).reshape(-1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("nperseg",))
-def _welch_core(x, nperseg: int):
+def _welch_core(p, nperseg: int):
+    x = jax.lax.complex(p[:, 0], p[:, 1])
     n = (x.shape[0] // nperseg) * nperseg
     segs = x[:n].reshape(-1, nperseg)
     win = jnp.hanning(nperseg).astype(jnp.float32)
@@ -30,10 +38,9 @@ def _welch_core(x, nperseg: int):
     return 10 * jnp.log10(jnp.mean(jnp.abs(spec) ** 2, axis=0) + 1e-12)
 
 
-def welch_psd(x: jnp.ndarray, nperseg: int = 4096):
-    """Simple mean-of-periodograms PSD (jitted — eager complex ops are
-    unsupported on some remote backends)."""
-    return np.asarray(_welch_core(x, nperseg))
+def welch_psd(x, nperseg: int = 4096):
+    """Simple mean-of-periodograms PSD (device-side, complex-transfer-free)."""
+    return np.asarray(_welch_core(_pairs(x), nperseg))
 
 
 @fail_on_missing_capture
@@ -45,24 +52,34 @@ def main(argv=None):
     reader = CaptureReader(cfg, estimate_offset=True,
                            max_offset_lags=50_000)
     print(f"Estimated channel offset: {reader.offset} samples")
-    ref, srv = reader.read_iq_frames(0, 1)
-    ref, srv = jnp.asarray(ref[0]), jnp.asarray(srv[0])
+    ref_h, srv_h = reader.read_iq_frames(0, 1)
+    ref_h, srv_h = ref_h[0], srv_h[0]
 
-    raw_psd_ref = welch_psd(ref)
-    raw_psd_srv = welch_psd(srv)
+    raw_psd_ref = welch_psd(ref_h)
+    raw_psd_srv = welch_psd(srv_h)
 
-    # channelize: tune + resample (reference signal_preview.py:59-65)
-    ref_ch = resample_poly(
-        frequency_shift(ref, cfg.offset_freq, cfg.input_sample_rate),
-        cfg.resamp_up, cfg.resamp_dn, padtype="line")
-    srv_ch = resample_poly(
-        frequency_shift(srv, cfg.offset_freq, cfg.input_sample_rate),
-        cfg.resamp_up, cfg.resamp_dn, padtype="line")
-    ch_psd_ref = welch_psd(ref_ch, 1024)
-    ch_psd_srv = welch_psd(srv_ch, 1024)
-
+    # channelize: tune + resample + lag scan, all inside one jitted program
+    # fed float pairs (reference signal_preview.py:59-65)
     nlag = 2000
-    xc = np.asarray(jax.jit(jnp.abs)(xcorr(ref_ch, srv_ch, nlag, nlag)))
+
+    @jax.jit
+    def _channel_diag(pr, ps):
+        r = jax.lax.complex(pr[:, 0], pr[:, 1])
+        s = jax.lax.complex(ps[:, 0], ps[:, 1])
+        r_ch = resample_poly(
+            frequency_shift(r, cfg.offset_freq, cfg.input_sample_rate),
+            cfg.resamp_up, cfg.resamp_dn, padtype="line")
+        s_ch = resample_poly(
+            frequency_shift(s, cfg.offset_freq, cfg.input_sample_rate),
+            cfg.resamp_up, cfg.resamp_dn, padtype="line")
+        xc = jnp.abs(xcorr(r_ch, s_ch, nlag, nlag))
+        return (jnp.stack([jnp.real(r_ch), jnp.imag(r_ch)], -1),
+                jnp.stack([jnp.real(s_ch), jnp.imag(s_ch)], -1), xc)
+
+    rch_p, sch_p, xc = _channel_diag(_pairs(ref_h), _pairs(srv_h))
+    ch_psd_ref = welch_psd(np.asarray(rch_p).view(np.complex64)[:, 0], 1024)
+    ch_psd_srv = welch_psd(np.asarray(sch_p).view(np.complex64)[:, 0], 1024)
+    xc = np.asarray(xc)
 
     import matplotlib
     matplotlib.use("Agg")

@@ -21,7 +21,7 @@ def main(argv=None):
     xambg = load_maps(cfg)
     cf = cfar_stack(xambg)
     hist = simple_target_tracker(cf, cfg.max_range_actual,
-                                 cfg.max_doppler_actual)
+                                 cfg.max_doppler_actual, frames_last=True)
     est = np.asarray(hist["estimate"])       # (F, 2) [range, doppler]
     lock = np.asarray(hist["lock_mode"])     # (F, 4)
     locked = lock[:, 2] == 1

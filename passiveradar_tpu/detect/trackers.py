@@ -224,23 +224,37 @@ def _multitarget_scan(frames, frame_extent, n_tracks: int, k_max: int):
     return history
 
 
+def _orient_stack(data, frames_last):
+    """Normalise a frame stack to frames-first.
+
+    frames_last=None guesses (frames-last iff the last axis is the smallest,
+    matching typical geometries) — pass it explicitly whenever the frame
+    count can rival the map dimensions, otherwise the guess is ambiguous.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    if data.ndim != 3:
+        raise ValueError("expected a 3-D frame stack")
+    if frames_last is None:
+        frames_last = data.shape[2] <= min(data.shape[0], data.shape[1])
+    if frames_last:
+        data = jnp.moveaxis(data, 2, 0)
+    return data
+
+
 def multitarget_tracker(data, frame_extent, n_tracks: int = 10,
-                        k_max: int = 384):
+                        k_max: int = 384, frames_last: bool | None = None):
     """Track up to ``n_tracks`` targets through a stack of range-Doppler maps.
 
     data: (num_doppler, num_range, num_frames) — the reference's file layout
-    (target_detection.py:455-526) — or (num_frames, num_doppler, num_range).
+    (target_detection.py:455-526, pass frames_last=True) — or
+    (num_frames, num_doppler, num_range) (frames_last=False). The default
+    guesses from the shapes (see _orient_stack).
     frame_extent: (max_doppler_hz, max_range_km).
 
     Returns a dict of arrays with leading axes (num_frames, n_tracks):
     status, lifetime, measurement, estimate, history, kalman.*.
     """
-    data = jnp.asarray(data, jnp.float32)
-    if data.ndim != 3:
-        raise ValueError("expected a 3-D frame stack")
-    # heuristically accept the reference's frames-last layout
-    if data.shape[0] != data.shape[1] and data.shape[2] < data.shape[0]:
-        data = jnp.moveaxis(data, 2, 0)
+    data = _orient_stack(data, frames_last)
     extent = jnp.asarray(frame_extent, jnp.float32)
     return _multitarget_scan(data, extent, int(n_tracks), int(k_max))
 
@@ -315,17 +329,17 @@ def _simple_scan(frames, range_extent, doppler_extent):
     return history
 
 
-def simple_target_tracker(data, range_extent: float, doppler_extent: float):
+def simple_target_tracker(data, range_extent: float, doppler_extent: float,
+                          frames_last: bool | None = None):
     """Single-target lock-state tracker (reference target_detection.py:626-681).
 
-    data: (num_doppler, num_range, num_frames) or frames-first. Each frame is
-    normalised, reoriented, clutter-zeroed, then the gated argmax becomes the
-    measurement for an adaptive Kalman update; a 4-state lock-mode one-hot is
-    advanced through the found/lost transition matrices.
+    data: (num_doppler, num_range, num_frames) (frames_last=True) or
+    frames-first (frames_last=False); default guesses from the shapes.
+    Each frame is normalised, reoriented, clutter-zeroed, then the gated
+    argmax becomes the measurement for an adaptive Kalman update; a 4-state
+    lock-mode one-hot is advanced through the found/lost transition matrices.
     """
-    data = jnp.asarray(data, jnp.float32)
-    if data.shape[0] != data.shape[1] and data.shape[2] < data.shape[0]:
-        data = jnp.moveaxis(data, 2, 0)
+    data = _orient_stack(data, frames_last)
     f, nf, nr = data.shape
 
     # per-frame normalise / orient / zero (reference target_detection.py:663-673)

@@ -95,10 +95,23 @@ class CaptureReader:
         self._first_frame = 0
 
     def shard(self, process_index: int, process_count: int) -> "CaptureReader":
-        """Restrict to this host's contiguous frame range (multi-host ingest)."""
+        """Restrict to this host's contiguous frame range (multi-host ingest).
+
+        The last host takes the remainder frames. Interior shard edges allow
+        one frame of margin reads into the neighbouring host's range
+        (frame_margin_before/after), so CPI-overlap halos stay exact at host
+        boundaries; frame_offset records the global index of local frame 0
+        (the mixing phases depend on the global frame number).
+        """
         per = self.num_frames // process_count
         self._first_frame = process_index * per
-        self.num_frames = per
+        if process_index == process_count - 1:
+            self.num_frames = self.num_frames - per * (process_count - 1)
+        else:
+            self.num_frames = per
+        self.frame_offset = self._first_frame
+        self.frame_margin_before = process_index > 0
+        self.frame_margin_after = process_index < process_count - 1
         return self
 
     # -- raw frame access ---------------------------------------------------
@@ -158,13 +171,18 @@ class PrefetchReader:
         self._thread.start()
 
     def _work(self):
-        for start, count in self._batches:
-            self._q.put((start, count, self._read(start, count)))
-        self._q.put(None)
+        try:
+            for start, count in self._batches:
+                self._q.put((start, count, self._read(start, count)))
+            self._q.put(None)
+        except BaseException as e:  # propagate to the consumer, never hang it
+            self._q.put(e)
 
     def __iter__(self):
         while True:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

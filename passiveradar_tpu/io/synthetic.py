@@ -117,7 +117,7 @@ def synth_capture_device(cfg: RadarConfig, n_frames: int,
 
     @jax.jit
     def gen(key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2a, k2b, k3a, k3b = jax.random.split(key, 5)
         msg = jax.random.normal(k1, (n_complex + 8,), jnp.float32)
         c = jnp.cumsum(msg)
         msg = (c[8:] - c[:-8]) / 8.0                       # 8-tap smoother
@@ -134,11 +134,11 @@ def synth_capture_device(cfg: RadarConfig, n_frames: int,
         ref = frequency_shift(base, -float(cfg.offset_freq), fs)
         srv = frequency_shift(srv, -float(cfg.offset_freq), fs)
         ref = ref + noise_level * jax.lax.complex(
-            jax.random.normal(k2, (n_complex,), jnp.float32),
-            jax.random.normal(k2, (n_complex,), jnp.float32))
+            jax.random.normal(k2a, (n_complex,), jnp.float32),
+            jax.random.normal(k2b, (n_complex,), jnp.float32))
         srv = srv + noise_level * jax.lax.complex(
-            jax.random.normal(k3, (n_complex,), jnp.float32),
-            jax.random.normal(k3, (n_complex,), jnp.float32))
+            jax.random.normal(k3a, (n_complex,), jnp.float32),
+            jax.random.normal(k3b, (n_complex,), jnp.float32))
 
         if complex_output:
             return (ref.reshape(n_frames, half).astype(jnp.complex64),

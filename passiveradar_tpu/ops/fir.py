@@ -16,6 +16,7 @@ effects flow into the final range-Doppler maps.
 from __future__ import annotations
 
 import functools
+import hashlib
 import math
 
 import jax
@@ -144,9 +145,9 @@ _TAP_CACHE: dict = {}
 
 
 def _tap_key(h: np.ndarray) -> tuple:
-    key = (len(h), float(h[0]), float(h[-1]), float(np.sum(h)),
-           float(np.sum(np.abs(h))))
-    _TAP_CACHE[key] = np.asarray(h, dtype=np.float64)
+    h = np.ascontiguousarray(h, dtype=np.float64)
+    key = (len(h), hashlib.sha1(h.tobytes()).hexdigest())
+    _TAP_CACHE[key] = h
     return key
 
 

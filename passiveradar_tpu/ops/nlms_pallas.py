@@ -145,7 +145,9 @@ def nlms_filter_pallas(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     # step k reads ref[k+1 : k+1+m] and srv[k+filter_len]; refx spans one
     # extra block for the i+1 lookahead spec
     refx = jnp.pad(ref[:, 1:], ((0, 0), (0, steps_pad + block - (n - 1))))
-    srvx = jnp.pad(srv[:, filter_len:], ((0, 0), (0, steps_pad - (n - filter_len))))
+    srv_tail = srv[:, filter_len:filter_len + steps_pad]
+    srvx = jnp.pad(srv_tail,
+                   ((0, 0), (0, steps_pad - srv_tail.shape[1])))
     mask = jnp.asarray(
         np.concatenate([np.ones(m, np.float32), np.zeros(mp - m, np.float32)])
     )[None, :]

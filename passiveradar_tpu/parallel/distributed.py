@@ -17,6 +17,7 @@ dry-runs the multi-chip program on virtual devices — __graft_entry__.py).
 from __future__ import annotations
 
 import jax
+import jax.experimental.multihost_utils
 import numpy as np
 
 from passiveradar_tpu.config import RadarConfig
@@ -76,7 +77,15 @@ def run_capture_multihost(cfg: RadarConfig, capture_path: str,
     n = run_capture(reader, writer, cfg, batch_frames=batch_frames,
                     sharding=frame_sharding(mesh))
     writer.close()
+    # metadata describes the GLOBAL concatenated stack, not this host's
+    # shard; the allgather is a collective, so every process participates
+    if jax.process_count() > 1:
+        counts = jax.experimental.multihost_utils.process_allgather(
+            np.asarray([n]))
+        global_n = int(np.sum(counts))
+    else:
+        global_n = n
     if jax.process_index() == 0:
-        write_metadata(cfg, n)
+        write_metadata(cfg, global_n)
     reader.close()
     return n

@@ -142,6 +142,14 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     total = min(reader.num_frames, cfg.num_frames)
     bf = batch_frames or cfg.frame_batch
 
+    # Sharded readers (multi-host) expose one frame of margin into the
+    # neighbouring host's range so halos stay exact at host boundaries, and a
+    # global frame offset for the mixing phases.
+    margin_lo = bool(getattr(reader, "frame_margin_before", False))
+    margin_hi = (bool(getattr(reader, "frame_margin_after", False))
+                 or total < reader.num_frames)
+    frame0 = int(getattr(reader, "frame_offset", 0))
+
     # Every dispatch uses ONE fixed shape of bf+2 frames — a one-frame halo
     # margin on each side, zero-padded at the capture edges and on the final
     # partial batch — so exactly one XLA program is ever compiled (zero
@@ -152,8 +160,8 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     done = getattr(writer, "frames_done", 0)
     while done < total:
         count = min(bf, total - done)
-        lo = max(0, done - 1)
-        hi = min(total, done + count + 1)
+        lo = done - 1 if (done > 0 or margin_lo) else 0
+        hi = min(total + (1 if margin_hi else 0), done + count + 1)
         batches.append((done, count, lo, hi))
         done += count
 
@@ -164,21 +172,28 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
                               mode="iq")
 
     lc = cfg.input_chunk_length // 2
+    # dispatch buffer: bf+2 frames, rounded up to the device count so the
+    # sharded frame axis always divides the mesh
+    buf_n = bf + 2
+    if sharding is not None:
+        ndev = len(sharding.device_set)
+        buf_n = -(-buf_n // ndev) * ndev
     done = getattr(writer, "frames_done", 0)
     for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
             batches, prefetch):
-        # place the read frames into the fixed (bf+2)-frame buffer at the
-        # offset that aligns global frame `start` with buffer slot 1
-        buf_ref = np.zeros((bf + 2, lc, 2), np.float32)
-        buf_srv = np.zeros((bf + 2, lc, 2), np.float32)
-        phases = np.zeros(bf + 2, np.float32)
+        # place the read frames into the fixed buffer at the offset that
+        # aligns frame `start` with buffer slot 1
+        buf_ref = np.zeros((buf_n, lc, 2), np.float32)
+        buf_srv = np.zeros((buf_n, lc, 2), np.float32)
+        phases = np.zeros(buf_n, np.float32)
         slot0 = 1 - (start - lo)
         nread = hi - lo
         buf_ref[slot0:slot0 + nread] = ref_raw.view(np.float32).reshape(
             nread, lc, 2)
         buf_srv[slot0:slot0 + nread] = srv_raw.view(np.float32).reshape(
             nread, lc, 2)
-        phases[slot0:slot0 + nread] = frame_phases(cfg, list(range(lo, hi)))
+        phases[slot0:slot0 + nread] = frame_phases(
+            cfg, list(range(frame0 + lo, frame0 + hi)))
 
         ref_d = jnp.asarray(buf_ref)
         srv_d = jnp.asarray(buf_srv)

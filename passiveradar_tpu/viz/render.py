@@ -50,8 +50,11 @@ def render_frames(cf: np.ndarray, cfg: RadarConfig, out_dir: str = "IMG",
         vmin, vmax = np.percentile(frame, [1, 99])
         fig = plt.figure(figsize=(8, 4.5), dpi=120)
         ax = fig.add_subplot(111)
+        # row 0 of the display frame is MAXIMUM range (the reference's
+        # linspace(extent, 0) convention) — matplotlib's default
+        # origin='upper' puts it at the top, where it belongs
         ax.imshow(frame, cmap="gnuplot2", vmin=vmin, vmax=vmax,
-                  extent=extent, aspect="auto", origin="lower")
+                  extent=extent, aspect="auto")
         _setup_axes(ax, cfg)
         fig.tight_layout()
         fig.savefig(os.path.join(out_dir, f"{prefix}_{k:04d}.png"))
@@ -82,7 +85,7 @@ def render_video(cf: np.ndarray, cfg: RadarConfig, out_path: str,
     ax = fig.add_subplot(111)
     vmin, vmax = np.percentile(disp, [1, 99])
     im = ax.imshow(disp[0], cmap="gnuplot2", vmin=vmin, vmax=vmax,
-                   extent=extent, aspect="auto", origin="lower")
+                   extent=extent, aspect="auto")
     _setup_axes(ax, cfg)
     artists = []
 

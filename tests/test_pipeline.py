@@ -237,3 +237,68 @@ def test_non_overlap_mode_end_to_end(rng):
         r, c = np.unravel_index(np.argmax(maps[f]), maps[f].shape)
         assert abs(r - expect_row) <= 1
         assert abs(c - expect_col) <= 1
+
+
+def test_run_capture_sharded_default_batch(tiny_cfg, tmp_path):
+    """Regression: the bf+2 dispatch buffer must round up to the device count
+    (bf=8 → 10 frames over 8 devices used to crash device_put)."""
+    cfg = tiny_cfg
+    path = str(tmp_path / "cap_s.hdf5")
+    write_synth_capture(path, cfg, 6, targets=(Target(40, 20.0, 0.1),))
+    reader = CaptureReader(cfg, path, estimate_offset=False)
+    total = min(reader.num_frames, cfg.num_frames)
+    mesh = make_mesh(8)
+    w = MapWriter(cfg, total, str(tmp_path / "maps_s.hdf5"))
+    n = run_capture(reader, w, cfg, batch_frames=8,
+                    sharding=frame_sharding(mesh), progress=False)
+    w.close()
+    assert n == total
+    # sharded output equals unsharded output
+    w2 = MapWriter(cfg, total, str(tmp_path / "maps_u.hdf5"))
+    run_capture(reader, w2, cfg, batch_frames=8, progress=False)
+    w2.close()
+    import h5py
+    with h5py.File(str(tmp_path / "maps_s.hdf5")) as f:
+        a = np.asarray(f["/xambg"])
+    with h5py.File(str(tmp_path / "maps_u.hdf5")) as f:
+        b = np.asarray(f["/xambg"])
+    assert np.max(np.abs(a - b)) < 1e-3 * np.max(np.abs(b))
+    reader.close()
+
+
+def test_sharded_readers_match_single_host(tiny_cfg, tmp_path):
+    """Two sequential reader shards (simulating two hosts) must reproduce the
+    single-reader output exactly: host-boundary halos read into the
+    neighbour's range, phases use global frame indices, and the remainder
+    goes to the last shard."""
+    cfg = tiny_cfg
+    n_frames = 7  # odd → shard sizes 3 + 4 (remainder exercise)
+    path = str(tmp_path / "cap_m.hdf5")
+    write_synth_capture(path, cfg, n_frames, targets=(Target(40, 20.0, 0.1),))
+
+    single = CaptureReader(cfg, path, estimate_offset=False)
+    total = min(single.num_frames, cfg.num_frames)
+    w = MapWriter(cfg, total, str(tmp_path / "one.hdf5"))
+    run_capture(single, w, cfg, batch_frames=3, progress=False)
+    w.close()
+    single.close()
+
+    parts = []
+    counts = []
+    for p in range(2):
+        r = CaptureReader(cfg, path, estimate_offset=False).shard(p, 2)
+        counts.append(r.num_frames)
+        wp = MapWriter(cfg, r.num_frames, str(tmp_path / f"part{p}.hdf5"))
+        run_capture(r, wp, cfg, batch_frames=3, progress=False)
+        wp.close()
+        import h5py
+        with h5py.File(str(tmp_path / f"part{p}.hdf5")) as f:
+            parts.append(np.asarray(f["/xambg"]))
+        r.close()
+    assert sum(counts) == total
+    combined = np.concatenate(parts, axis=2)
+
+    import h5py
+    with h5py.File(str(tmp_path / "one.hdf5")) as f:
+        want = np.asarray(f["/xambg"])[:, :, :combined.shape[2]]
+    assert np.max(np.abs(combined - want)) < 1e-3 * np.max(np.abs(want))
