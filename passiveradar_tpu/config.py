@@ -69,7 +69,10 @@ class RadarConfig:
 
     # ---- framework-specific knobs (no reference analog) -------------------------
     clutter_doppler_bins: tuple = (0, 1, -1, 2, -2)  # reference main.py:174
+    clutter_method: str = "ls_multiple"  # ls_multiple | nlms | nlms_pallas | none
+    nlms_mu: float = 0.05                # step size for the nlms methods
     caf_window: tuple = ("kaiser", 5.0)              # reference main.py:183
+    caf_short_filt: bool = True          # boxcar vs flattop Doppler decimator
     frame_batch: int = 8      # frames processed per device dispatch
     max_measurements: int = 384  # fixed-shape candidate-measurement budget
 
@@ -112,7 +115,8 @@ _RAW_KEYS = {
     "output_fname", "num_frames", "input_sample_rate", "input_center_freq",
     "channel_freq", "channel_bandwidth", "cpi_seconds_nominal",
     "max_doppler_nominal", "max_range_nominal", "overlap_cpi",
-    "clutter_doppler_bins", "caf_window", "frame_batch", "max_measurements",
+    "clutter_doppler_bins", "clutter_method", "nlms_mu", "caf_window",
+    "caf_short_filt", "frame_batch", "max_measurements",
 }
 
 

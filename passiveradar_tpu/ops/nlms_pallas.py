@@ -124,12 +124,16 @@ def _nlms_kernel(mask, ra_r, ra_i, rb_r, rb_i, sv_r, sv_i,
                                     "return_filter", "interpret"))
 def nlms_filter_pallas(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
                        mu: float, peek: int = 10, block: int = 2048,
-                       return_filter: bool = False, interpret: bool = False):
+                       return_filter: bool = False,
+                       interpret: bool | None = None):
     """Batched Pallas NLMS. ref/srv: (B, N) complex64 → (B, N) complex64.
 
     Matches ops.clutter.nlms_filter (and so the reference NLMS) per frame;
-    1-D inputs are promoted to a single-row batch.
+    1-D inputs are promoted to a single-row batch. interpret=None auto-selects
+    the Pallas interpreter on CPU backends (compiled Mosaic elsewhere).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     squeeze = ref.ndim == 1
     if squeeze:
         ref, srv = ref[None], srv[None]

@@ -80,7 +80,24 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def clutter_batch(ref: jnp.ndarray, srv: jnp.ndarray,
                   cfg: RadarConfig) -> jnp.ndarray:
-    """Multi-Doppler-bin LS clutter cancellation over a frame batch."""
+    """Clutter cancellation over a frame batch.
+
+    cfg.clutter_method selects the canceller: 'ls_multiple' (the reference
+    pipeline's sequential multi-Doppler-bin Toeplitz LS, main.py:168-176),
+    'nlms' (lax.scan NLMS), 'nlms_pallas' (the Pallas TPU kernel), or 'none'.
+    """
+    method = cfg.clutter_method
+    if method == "none":
+        return srv
+    if method == "nlms":
+        from passiveradar_tpu.ops.clutter import nlms_filter
+        fn = lambda r, s: nlms_filter(r, s, cfg.num_range_cells, cfg.nlms_mu)
+        return jax.vmap(fn)(ref, srv)
+    if method == "nlms_pallas":
+        from passiveradar_tpu.ops.nlms_pallas import nlms_filter_pallas
+        return nlms_filter_pallas(ref, srv, cfg.num_range_cells, cfg.nlms_mu)
+    if method != "ls_multiple":
+        raise ValueError(f"unknown clutter_method {method!r}")
     fn = lambda r, s: ls_filter_multiple(
         r, s, cfg.num_range_cells, cfg.IF_sample_rate,
         cfg.clutter_doppler_bins)
@@ -101,7 +118,8 @@ def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
     win = resolve_window(cfg.caf_window, cfg.caf_input_samples)
     win_j = None if win is None else jnp.asarray(win)
     fn = lambda r, s: fast_xambg(r, s, cfg.num_range_cells,
-                                 cfg.num_doppler_cells, window=win_j)
+                                 cfg.num_doppler_cells, window=win_j,
+                                 short_filt=cfg.caf_short_filt)
     return jax.vmap(fn)(ref, srv_clean)
 
 

@@ -302,3 +302,39 @@ def test_sharded_readers_match_single_host(tiny_cfg, tmp_path):
     with h5py.File(str(tmp_path / "one.hdf5")) as f:
         want = np.asarray(f["/xambg"])[:, :, :combined.shape[2]]
     assert np.max(np.abs(combined - want)) < 1e-3 * np.max(np.abs(want))
+
+
+@pytest.mark.parametrize("method", ["nlms", "nlms_pallas", "none"])
+def test_clutter_method_selection(tiny_cfg, method):
+    """Pipeline clutter backend knob: NLMS (scan & Pallas-interpret) and
+    passthrough all run end-to-end and still localise the target."""
+    import dataclasses
+    import jax
+    cfg = dataclasses.replace(tiny_cfg, clutter_method=method)
+    n_frames = 3
+    tgt = Target(delay_samples=40, doppler_hz=20.0, amplitude=0.2)
+    ref, srv = _make_frames(cfg, n_frames, (tgt,))
+    phases = frame_phases(cfg, list(range(n_frames)))
+    maps = np.abs(np.asarray(process_frames(
+        jnp.asarray(ref), jnp.asarray(srv), jnp.asarray(phases), cfg)))
+    nf = cfg.num_doppler_cells
+    m = maps[1].copy()
+    m[nf // 2 - 3:nf // 2 + 4, :] = 0  # mask the (uncancelled) clutter ridge
+    r, c = np.unravel_index(np.argmax(m), m.shape)
+    delay_if = tgt.delay_samples * cfg.resamp_up / cfg.resamp_dn
+    assert abs(c - (cfg.num_range_cells - round(delay_if))) <= 1
+    assert abs(r - (nf // 2 - round(tgt.doppler_hz / cfg.doppler_cell_width))) <= 1
+
+
+def test_caf_flattop_mode_in_pipeline(tiny_cfg):
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg, caf_short_filt=False)
+    n_frames = 3
+    tgt = Target(delay_samples=40, doppler_hz=20.0, amplitude=0.15)
+    ref, srv = _make_frames(cfg, n_frames, (tgt,))
+    phases = frame_phases(cfg, list(range(n_frames)))
+    maps = np.abs(np.asarray(process_frames(
+        jnp.asarray(ref), jnp.asarray(srv), jnp.asarray(phases), cfg)))
+    r, c = np.unravel_index(np.argmax(maps[1]), maps[1].shape)
+    delay_if = tgt.delay_samples * cfg.resamp_up / cfg.resamp_dn
+    assert abs(c - (cfg.num_range_cells - round(delay_if))) <= 1
