@@ -23,12 +23,9 @@ def main(argv=None):
 
     xambg = load_maps(cfg)
     cf = cfar_stack(xambg)
-    # candidate budget scaled so the 99.8th-percentile pool never truncates
-    k_max = max(cfg.max_measurements,
-                int(0.003 * cfg.num_doppler_cells * (cfg.num_range_cells + 1)))
     hist = multitarget_tracker(
         cf, (cfg.max_doppler_actual, cfg.max_range_actual), N_TRACKS,
-        k_max=k_max, frames_last=True)
+        k_max=cfg.candidate_budget, frames_last=True)
     est = np.asarray(hist["estimate"])       # (F, N, 2)
     status = np.asarray(hist["status"])      # (F, N)
     confirmed = status == 2

@@ -108,6 +108,15 @@ class RadarConfig:
     def caf_input_samples(self) -> int:
         return self.output_chunk_length + 2 * self.window_overlap
 
+    # Fixed-shape candidate-pool size for the trackers: at least
+    # max_measurements, scaled so the reference's 99.8th-percentile threshold
+    # (≈0.2% of cells, plus ties) never truncates on dense frames. Used by
+    # both the offline CLI and the streaming processor so they stay identical.
+    @property
+    def candidate_budget(self) -> int:
+        cells = self.num_doppler_cells * (self.num_range_cells + 1)
+        return max(self.max_measurements, int(0.003 * cells))
+
 
 _RAW_KEYS = {
     "input_file", "interleaved_input_channels", "input_ref_path",

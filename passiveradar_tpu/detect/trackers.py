@@ -236,6 +236,12 @@ def _orient_stack(data, frames_last):
         raise ValueError("expected a 3-D frame stack")
     if frames_last is None:
         frames_last = data.shape[2] <= min(data.shape[0], data.shape[1])
+        if data.shape[2] * 2 > min(data.shape[0], data.shape[1]):
+            import warnings
+            warnings.warn(
+                f"frame-stack orientation guessed as frames_last={frames_last} "
+                f"for shape {tuple(data.shape)}; the frame count rivals the "
+                "map dimensions — pass frames_last explicitly", stacklevel=3)
     if frames_last:
         data = jnp.moveaxis(data, 2, 0)
     return data

@@ -33,7 +33,10 @@ from passiveradar_tpu.pipeline import clutter_batch, frame_phases, preprocess_ba
 # on some remote backends, so every array manipulation lives inside jit
 @functools.partial(jax.jit, static_argnames=("h",))
 def _edges(ref_c, srv_c, h: int):
-    return (ref_c[0, -h:], srv_c[0, -h:], ref_c[0, :h], srv_c[0, :h])
+    n = ref_c.shape[1]
+    # n - h (not -h) so h == 0 (overlap_cpi: false) yields empty halos
+    # instead of the whole frame
+    return (ref_c[0, n - h:], srv_c[0, n - h:], ref_c[0, :h], srv_c[0, :h])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fw", "gw"))
@@ -42,7 +45,8 @@ def _assemble_caf_cfar(left_r, left_s, ref_c, srv_c, right_r, right_s,
     ref_in = jnp.concatenate([left_r, ref_c[0], right_r])
     srv_in = jnp.concatenate([left_s, srv_c[0], right_s])
     caf = fast_xambg(ref_in, srv_in, cfg.num_range_cells,
-                     cfg.num_doppler_cells, window=window)
+                     cfg.num_doppler_cells, window=window,
+                     short_filt=cfg.caf_short_filt)
     cf = cfar_2d(jnp.abs(caf), fw, gw)
     return caf, cf
 
@@ -112,7 +116,7 @@ class StreamingProcessor:
                                      right_r, right_s, self._window, cfg,
                                      *self.cfar_kernel)
         self._tracks = multitarget_step(self._tracks, cf, self._extent,
-                                        self.n_tracks, cfg.max_measurements)
+                                        self.n_tracks, cfg.candidate_budget)
         tail_r, tail_s, _, _ = _edges(ref_c, srv_c, h)
         self._left_tail = (tail_r, tail_s)
         return StreamResult(

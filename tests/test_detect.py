@@ -263,7 +263,8 @@ def test_simple_tracker_unlocks_on_target_loss(rng):
         for _ in range(20)]
     frames += [(rng.random((nf, nr)) * 0.2 + 1.0).astype(np.float32)
                for _ in range(20)]
-    hist = simple_target_tracker(np.stack(frames), r_ext, d_ext)
+    hist = simple_target_tracker(np.stack(frames), r_ext, d_ext,
+                                 frames_last=False)
     lock = np.asarray(hist["lock_mode"])
     assert lock[19, 2] == 1          # locked while target present
     assert lock[-1, 0] == 1          # back to unlocked after loss

@@ -42,6 +42,69 @@ def test_streaming_matches_batch(tiny_cfg):
         assert np.max(np.abs(got - want)) < 1e-3 * np.max(want), r.frame_index
 
 
+@pytest.mark.parametrize("variant", ["no_overlap", "flattop"])
+def test_streaming_matches_batch_variants(variant):
+    """Streaming must honor overlap_cpi=False and caf_short_filt=False."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from passiveradar_tpu.pipeline import frame_phases, process_frames
+
+    params = dict(TINY)
+    if variant == "no_overlap":
+        params["overlap_cpi"] = False
+    cfg = derive_config(params)
+    if variant == "flattop":
+        cfg = dataclasses.replace(cfg, caf_short_filt=False)
+    n_frames = 3
+    ref, srv = _make_frames(cfg, n_frames, (Target(40, 20.0, 0.12),))
+
+    batch = np.abs(np.asarray(process_frames(
+        jnp.asarray(ref), jnp.asarray(srv),
+        jnp.asarray(frame_phases(cfg, list(range(n_frames)))), cfg)))
+
+    sp = StreamingProcessor(cfg, n_tracks=4)
+    results = []
+    for f in range(n_frames):
+        out = sp.push(ref[f], srv[f])
+        if out is not None:
+            results.append(out)
+    results.append(sp.flush())
+
+    assert [r.frame_index for r in results] == list(range(n_frames))
+    for r in results:
+        got = np.abs(r.caf)
+        want = batch[r.frame_index]
+        assert np.max(np.abs(got - want)) < 1e-3 * np.max(want), r.frame_index
+
+
+def test_streaming_uses_scaled_candidate_budget(tiny_cfg, monkeypatch):
+    """The streaming tracker must use the same scaled candidate pool as the
+    offline CLI (cfg.candidate_budget), not raw max_measurements — on the FM
+    geometry (1024×176) the 99.8th-percentile pool overflows 384 slots."""
+    import dataclasses
+
+    import passiveradar_tpu.streaming as streaming_mod
+
+    # choose max_measurements so budget and raw value differ for TINY
+    cfg = dataclasses.replace(tiny_cfg, max_measurements=7)
+    assert cfg.candidate_budget != cfg.max_measurements
+
+    seen = []
+    real_step = streaming_mod.multitarget_step
+
+    def spy(tracks, cf, extent, n_tracks, k_max):
+        seen.append(k_max)
+        return real_step(tracks, cf, extent, n_tracks, k_max)
+
+    monkeypatch.setattr(streaming_mod, "multitarget_step", spy)
+    ref, srv = _make_frames(cfg, 2, (Target(40, 20.0, 0.12),))
+    sp = StreamingProcessor(cfg, n_tracks=4)
+    sp.push(ref[0], srv[0])
+    sp.push(ref[1], srv[1])
+    assert seen == [cfg.candidate_budget]
+
+
 def test_streaming_tracker_locks(tiny_cfg):
     cfg = tiny_cfg
     n_frames = 14
