@@ -11,6 +11,11 @@ see BASELINE.md). vs_baseline is therefore frames_per_second / 1.0.
 
 Prints exactly one JSON line:
   {"metric": "caf_frames_per_s", "value": N, "unit": "frames/s", "vs_baseline": N}
+
+The measurement runs in a supervised child process (bench_util.py): the
+tunnelled TPU relay can transiently abort a program (this killed the round-1
+artifact), and an aborted JAX backend is unrecoverable in-process — so the
+parent retries the whole child up to 3x and relays its JSON line.
 """
 
 import json
@@ -18,6 +23,8 @@ import sys
 import time
 
 import numpy as np
+
+from bench_util import child_or_retry
 
 
 def main():
@@ -93,4 +100,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    child_or_retry(main)

@@ -13,6 +13,8 @@ import json
 import sys
 import time
 
+from bench_util import child_or_retry
+
 
 def main():
     import jax
@@ -63,4 +65,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    child_or_retry(main)

@@ -198,6 +198,194 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
     return y[n_pre_remove:n_pre_remove + n_out]
 
 
+def _resample_design(n_in: int, up: int, down: int, window):
+    """Tap design + alignment arithmetic of resample_poly (host, static).
+
+    Returns (h_pad, n_pre_remove, n_out): the zero-padded taps fed to
+    upfirdn, the number of leading output samples to drop, and the final
+    output length — identical arithmetic to resample_poly above.
+    """
+    if isinstance(window, np.ndarray):
+        h = np.array(window, dtype=np.float64)
+        half_len = (len(h) - 1) // 2
+    else:
+        max_rate = max(up, down)
+        half_len = 10 * max_rate
+        h = design_lowpass(2 * half_len + 1, 1.0 / max_rate, window)
+    h = h * up
+    n_out = n_in * up // down + bool((n_in * up) % down)
+    n_pre_pad = down - half_len % down
+    n_post_pad = 0
+    n_pre_remove = (half_len + n_pre_pad) // down
+    while _upfirdn_output_len(len(h) + n_pre_pad + n_post_pad, n_in,
+                              up, down) < n_out + n_pre_remove:
+        n_post_pad += 1
+    h_pad = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
+    return h_pad, n_pre_remove, n_out
+
+
+@functools.lru_cache(maxsize=64)
+def _mix_resample_static(h_key, up: int, down: int, c: float, n_in: int,
+                         mode: str):
+    """Host-side constants for the fused mix+resample (see mix_resample_poly).
+
+    The oscillator F(n) = e^{j2πcn} factors across the polyphase window:
+    the mixed signal's window element at (group g, window index k) is
+    F(g·down)·F(k - pad_l - ext)·x[g·down + k - pad_l - ext], so mixing
+    reduces to (a) a static complex tap bank B̃ = B·Fw and (b) a per-group
+    complex scale F_g — no mixed intermediate is ever materialised.
+
+    For padtype='line', the linear-trend extension samples are linear in the
+    first/last *mixed* samples m0/mN, so their exact contribution to the
+    edge output groups is a pair of static correction matrices C1/C2 with
+    out_edge += C1·m0 + C2·mN.
+    """
+    h = _TAP_CACHE[h_key]
+    len_h = len(h)
+    _, q_min, w = _polyphase_bank(h_key, up, down)
+    pad_l = -q_min
+    if mode == "line":
+        need = -(-len_h // up)
+        ext = down * (-(-need // down))
+    else:
+        ext = 0
+    L = n_in + 2 * ext
+    n_out_full = _upfirdn_output_len(len_h, L, up, down)
+    groups = -(-n_out_full // up)
+    n_slabs = -(-w // down)
+    W = n_slabs * down
+
+    # float64 bank (same pattern as _polyphase_bank, higher precision so the
+    # oscillator folding below keeps full float32 accuracy)
+    bank = np.zeros((up, W), dtype=np.float64)
+    for p in range(up):
+        for qi in range(w):
+            j = p * down - (qi + q_min) * up
+            if 0 <= j < len_h:
+                bank[p, qi] = h[j]
+
+    kk = np.arange(W, dtype=np.float64)
+    fw = np.exp(2j * np.pi * np.mod(c * (kk - pad_l - ext), 1.0))
+    bank_c = bank * fw
+    # stacked (2·up, down)-column slabs for one real einsum per slab:
+    # rows 0..up-1 = Re(B̃), rows up..2up-1 = Im(B̃)
+    bank_ri = np.concatenate([bank_c.real, bank_c.imag], axis=0).astype(
+        np.float32)
+
+    gd = np.arange(groups, dtype=np.float64) * down
+    fg = np.exp(2j * np.pi * np.mod(c * gd, 1.0)).astype(np.complex64)
+
+    corr = None
+    if mode == "line" and n_in > 1:
+        nm1 = n_in - 1
+        fN = np.exp(2j * np.pi * np.mod(c * nm1, 1.0))
+        gl = min(groups, (ext + pad_l + down - 1) // down)
+        g_r0 = max(0, -(-(ext + n_in + pad_l - W + 1) // down))
+        g_r0 = min(g_r0, groups)
+
+        def edge(gs, left: bool):
+            nu = gs[:, None] * down + np.arange(W)[None, :] - pad_l
+            if left:
+                m = (nu >= 0) & (nu < ext)
+                a = (m * 1.0) @ bank.T
+                d = (m * (ext - nu)) @ bank.T
+                # corr = A_L·m0 - s·D_L with s = (mN - m0)/(n-1)
+                return a + d / nm1, (-d / nm1) * fN
+            m = (nu >= ext + n_in) & (nu < ext + n_in + ext)
+            a = (m * 1.0) @ bank.T
+            d = (m * (nu - ext - n_in + 1)) @ bank.T
+            return -d / nm1, (a + d / nm1) * fN
+
+        c1l, c2l = edge(np.arange(gl), True)
+        c1r, c2r = edge(np.arange(g_r0, groups), False)
+        corr = (gl, g_r0,
+                c1l.astype(np.complex64), c2l.astype(np.complex64),
+                c1r.astype(np.complex64), c2r.astype(np.complex64))
+
+    shift = ext * up // down if mode == "line" else 0
+    n_out_plain = _upfirdn_output_len(len_h, n_in, up, down)
+    return dict(pad_l=pad_l, ext=ext, groups=groups, n_slabs=n_slabs,
+                bank_ri=bank_ri, fg=fg, corr=corr, shift=shift,
+                n_out_plain=n_out_plain)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h_key", "up", "down", "c", "mode",
+                                    "n_pre_remove", "n_out"))
+def _mix_resample_jit(x, phase, h_key, up, down, c, mode, n_pre_remove,
+                      n_out):
+    if jnp.iscomplexobj(x):
+        planes = jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
+    elif x.ndim == 2:
+        planes = x.astype(jnp.float32).T          # (n, 2) IQ pairs → (2, n)
+    else:
+        planes = jnp.stack([x.astype(jnp.float32),
+                            jnp.zeros_like(x, jnp.float32)])
+    n_in = planes.shape[1]
+    st = _mix_resample_static(h_key, up, down, c, n_in, mode)
+    groups, n_slabs, down_ = st["groups"], st["n_slabs"], down
+    total = (groups + n_slabs) * down_
+    pad_lraw = st["pad_l"] + st["ext"]
+    pad_rraw = max(0, total - (n_in + pad_lraw))
+    xp = jnp.pad(planes, ((0, 0), (pad_lraw, pad_rraw)))[:, :total]
+    r = xp.reshape(2, groups + n_slabs, down_)
+    out = None
+    for i in range(n_slabs):
+        bb = jnp.asarray(st["bank_ri"][:, i * down_:(i + 1) * down_])
+        part = jnp.einsum("bgc,pc->bgp", r[:, i:i + groups], bb,
+                          preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    # out: (2 input planes, groups, 2·up); complex product of x and bank
+    o_re = out[0, :, :up] - out[1, :, up:]
+    o_im = out[0, :, up:] + out[1, :, :up]
+    bulk = jax.lax.complex(o_re, o_im) * jnp.asarray(st["fg"])[:, None]
+    if st["corr"] is not None:
+        gl, g_r0, c1l, c2l, c1r, c2r = st["corr"]
+        m0 = jax.lax.complex(planes[0, 0], planes[1, 0])
+        mn = jax.lax.complex(planes[0, -1], planes[1, -1])
+        if gl:
+            bulk = bulk.at[:gl].add(jnp.asarray(c1l) * m0
+                                    + jnp.asarray(c2l) * mn)
+        if g_r0 < groups:
+            bulk = bulk.at[g_r0:].add(jnp.asarray(c1r) * m0
+                                      + jnp.asarray(c2r) * mn)
+    flat = bulk.reshape(groups * up)
+    lo = st["shift"] + n_pre_remove
+    y = flat[lo:lo + n_out]
+    ph = jnp.asarray(phase, jnp.float32)
+    return (y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))).astype(
+        jnp.complex64)
+
+
+def mix_resample_poly(x: jnp.ndarray, fc: float, fs: float, phase,
+                      up: int, down: int, window=("kaiser", 5.0),
+                      padtype: str = "constant") -> jnp.ndarray:
+    """Fused frequency-shift + rational resample.
+
+    Exactly equivalent (to float32 rounding) to
+    ``resample_poly(frequency_shift(x, fc, fs, phase), up, down, window,
+    padtype)`` — the down-conversion+IF-resampling stage of the reference
+    pipeline (main.py:122-166) — but the mixed signal is never materialised:
+    the oscillator folds into the static polyphase bank and a per-group
+    scale vector, and the raw IQ planes feed the MXU matmuls directly.
+
+    ``x`` may be 1-D complex or an (n, 2) float32 IQ-pair array (the
+    host-transfer format). ``phase`` may be traced (per-frame under vmap).
+    """
+    g = math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    if up == 1 and down == 1:
+        from passiveradar_tpu.ops.mixer import frequency_shift
+        if not jnp.iscomplexobj(x) and x.ndim == 2:
+            x = jax.lax.complex(x[:, 0], x[:, 1])
+        return frequency_shift(x, fc, fs, phase)
+    n_in = x.shape[0]
+    h_pad, n_pre_remove, n_out = _resample_design(n_in, up, down, window)
+    return _mix_resample_jit(x, phase, _tap_key(h_pad), up, down,
+                             float(fc) / float(fs), padtype, n_pre_remove,
+                             n_out)
+
+
 def fir_decimate(x: jnp.ndarray, q: int, numtaps: int | None = None,
                  window: str = "hamming") -> jnp.ndarray:
     """Zero-phase FIR decimation by integer factor ``q``.
