@@ -28,8 +28,8 @@ import numpy as np
 from passiveradar_tpu.config import RadarConfig
 from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
 from passiveradar_tpu.ops.clutter import ls_filter_multiple
-from passiveradar_tpu.ops.fir import resample_poly
-from passiveradar_tpu.ops.mixer import block_phase_offsets, frequency_shift
+from passiveradar_tpu.ops.fir import mix_resample_poly
+from passiveradar_tpu.ops.mixer import block_phase_offsets
 from passiveradar_tpu.ops.util import to_host_complex
 from passiveradar_tpu.parallel.halo import overlap_frames
 
@@ -52,19 +52,21 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
     block_phase_offsets. Returns (F, output_chunk_length) complex64 at the
     IF rate.
     """
-    if jnp.iscomplexobj(raw):
+    if jnp.iscomplexobj(raw) or raw.ndim == 3:
+        # complex frames or (F, L//2, 2) float32 IQ pairs — the latter is the
+        # host↔device transfer format (some remote backends cannot transfer
+        # complex dtypes at all); mix_resample_poly consumes both directly
         iq = raw
-    elif raw.ndim == 3:
-        # (F, L//2, 2) float32 IQ pairs — the host↔device transfer format
-        # (some remote backends cannot transfer complex dtypes at all)
-        iq = jax.lax.complex(raw[..., 0], raw[..., 1]).astype(jnp.complex64)
     else:
         iq = _deinterleave_batch(raw)
-    shifted = frequency_shift(iq, cfg.offset_freq, cfg.input_sample_rate,
-                              phases)
+    # fused mixer+resampler: the oscillator folds into the static polyphase
+    # bank, so the mixed signal is never materialised (reference applies the
+    # two stages separately: main.py:122-166)
     resampled = jax.vmap(
-        lambda v: resample_poly(v, cfg.resamp_up, cfg.resamp_dn,
-                                padtype="line"))(shifted)
+        lambda v, p: mix_resample_poly(v, cfg.offset_freq,
+                                       cfg.input_sample_rate, p,
+                                       cfg.resamp_up, cfg.resamp_dn,
+                                       padtype="line"))(iq, phases)
     # per-chunk resample output may be ±1 sample off output_chunk_length
     # (the reference papers over this with dask chunk bookkeeping and a
     # zero-pad guard in fast_xambg); we frame exactly.

@@ -7,6 +7,7 @@ from scipy import signal as sps
 from passiveradar_tpu.ops.fir import (
     decimate_taps,
     fir_decimate,
+    mix_resample_poly,
     resample_poly,
     upfirdn,
 )
@@ -66,6 +67,36 @@ def test_resample_poly_odd_length(rng):
     want = sps.resample_poly(x.astype(np.float64), 3, 7, padtype="line")
     assert got.shape == want.shape
     assert _rel(got, want) < 1e-4
+
+
+@pytest.mark.parametrize("padtype", ["constant", "line"])
+@pytest.mark.parametrize("up,down", [(13, 119), (3, 7), (5, 2)])
+def test_mix_resample_fused_matches_two_step(rng, up, down, padtype):
+    # fused oscillator-folded resampler vs the float64 scipy composition of
+    # mixer + resample_poly (the two stages of reference main.py:122-166)
+    n = 11900
+    fc, fs, phase = 190e3, 2.4e6, 1.2345
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(mix_resample_poly(x, fc, fs, phase, up, down,
+                                       padtype=padtype))
+    osc = np.exp(1j * (2 * np.pi * fc / fs * np.arange(n) + phase))
+    want = sps.resample_poly(x.astype(np.complex128) * osc, up, down,
+                             padtype=padtype)
+    assert got.shape == want.shape
+    assert _rel(got, want) < 2e-5
+
+
+def test_mix_resample_iq_pair_input(rng):
+    # (n, 2) float32 IQ-pair input — the host-transfer format — must match
+    # the complex input path exactly
+    n = 4096
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    pairs = np.stack([x.real, x.imag], axis=-1)
+    a = np.asarray(mix_resample_poly(x, 1e5, 2.4e6, 0.5, 13, 119,
+                                     padtype="line"))
+    b = np.asarray(mix_resample_poly(pairs, 1e5, 2.4e6, 0.5, 13, 119,
+                                     padtype="line"))
+    assert _rel(a, b) < 1e-7
 
 
 @pytest.mark.parametrize("q", [2, 5, 8])
