@@ -102,6 +102,89 @@ def _toeplitz_inverse_c(c: jnp.ndarray) -> jnp.ndarray:
         jnp.conj(chol.T), y, lower=False)
 
 
+def levinson_first_col(c: jnp.ndarray) -> jnp.ndarray:
+    """First column x = T⁻¹e₀ of the Hermitian Toeplitz inverse, batched.
+
+    ``c`` is (..., m) — the first column of each T (same convention as
+    _toeplitz_matrix). Classic Levinson-Durbin as a lax.scan over the order:
+    O(m²) work instead of the O(m³) of a dense factorisation, and the
+    recursion state is a single (..., m) vector, so the whole batch stays
+    resident on-chip. With the Gohberg-Semencul identity (gs_generators /
+    gs_apply below) this replaces the batched Cholesky *inverses* that
+    dominated the clutter precompute (reference analog: the
+    scipy.solve_toeplitz Levinson call at clutter_removal.py:109-160).
+    """
+    c = jnp.asarray(c)
+    batch = c.shape[:-1]
+    m = c.shape[-1]
+    cb = c.reshape((-1, m))
+    nb = cb.shape[0]
+    # cf_pad[..., 2m-1-k+j] = c[k-j] (zero outside 0..m-1)
+    cf_pad = jnp.concatenate(
+        [jnp.zeros((nb, m), cb.dtype), jnp.flip(cb, -1),
+         jnp.zeros((nb, m), cb.dtype)], axis=-1)
+    a0 = jnp.zeros((nb, m), cb.dtype).at[:, 0].set(1.0)
+    e0 = jnp.real(cb[:, 0])
+
+    def step(carry, k):
+        a, e = carry
+        crev = jax.lax.dynamic_slice_in_dim(cf_pad, 2 * m - 1 - k, m, axis=1)
+        acc = jnp.sum(a * crev, axis=-1)
+        kap = -acc / e.astype(acc.dtype)
+        af_pad = jnp.concatenate(
+            [jnp.zeros((nb, m), a.dtype), jnp.flip(jnp.conj(a), -1),
+             jnp.zeros((nb, m), a.dtype)], axis=-1)
+        arev = jax.lax.dynamic_slice_in_dim(af_pad, 2 * m - 1 - k, m, axis=1)
+        a = a + kap[:, None] * arev
+        e = e * (1.0 - jnp.abs(kap) ** 2)
+        return (a, e), None
+
+    (a, e), _ = jax.lax.scan(step, (a0, e0), jnp.arange(1, m))
+    x = a / e[:, None].astype(a.dtype)
+    return x.reshape(batch + (m,))
+
+
+def gs_generators(x: jnp.ndarray, fft_len: int):
+    """Frequency-domain Gohberg-Semencul generators from x = T⁻¹e₀.
+
+    T⁻¹ = (A·Aᴴ − B·Bᴴ)/δ with A = lower-triangular Toeplitz(x),
+    B = lower-triangular Toeplitz([0, conj(x[m-1]), …, conj(x[1])]) and
+    δ = x[0] (real). Returns (fft(A's column), fft(B's column), δ) ready
+    for gs_apply; fft_len must be ≥ 2m−1.
+    """
+    m = x.shape[-1]
+    if fft_len < 2 * m - 1:
+        raise ValueError("fft_len must be >= 2m-1")
+    y = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), x.dtype),
+         jnp.conj(jnp.flip(x[..., 1:], -1))], axis=-1)
+    fx = jnp.fft.fft(x, fft_len, axis=-1)
+    fy = jnp.fft.fft(y, fft_len, axis=-1)
+    delta = jnp.real(x[..., 0])
+    return fx, fy, delta
+
+
+def gs_apply(fx: jnp.ndarray, fy: jnp.ndarray, delta: jnp.ndarray,
+             v: jnp.ndarray) -> jnp.ndarray:
+    """y = T⁻¹ v from Gohberg-Semencul generators (four small FFT convs).
+
+    A·u / Aᴴ·v are causal convolution / correlation with the generator
+    column, so each product is one padded FFT multiply; everything is
+    batched and O(m log m) — the per-bin solve inside the clutter scan
+    never touches an m×m matrix.
+    """
+    m = v.shape[-1]
+    fft_len = fx.shape[-1]
+    fv = jnp.fft.fft(v, fft_len, axis=-1)
+    ahv = jnp.fft.ifft(jnp.conj(fx) * fv, axis=-1)[..., :m]
+    aa = jnp.fft.ifft(fx * jnp.fft.fft(ahv, fft_len, axis=-1),
+                      axis=-1)[..., :m]
+    bhv = jnp.fft.ifft(jnp.conj(fy) * fv, axis=-1)[..., :m]
+    bb = jnp.fft.ifft(fy * jnp.fft.fft(bhv, fft_len, axis=-1),
+                      axis=-1)[..., :m]
+    return ((aa - bb) / delta[..., None].astype(aa.dtype)).astype(v.dtype)
+
+
 def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray,
                    assume_pd: bool = True) -> jnp.ndarray:
     """Solve T x = b where T is Hermitian Toeplitz with first column ``c``.
@@ -193,7 +276,8 @@ def ls_filter_toeplitz(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
 
 def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
-                       sample_rate: float, doppler_bins=(0,)) -> jnp.ndarray:
+                       sample_rate: float, doppler_bins=(0,),
+                       solver: str = "levinson") -> jnp.ndarray:
     """Sequential per-Doppler-bin LS passes (reference clutter_removal.py:162-187).
 
     Nonzero bins frequency-shift the reference before filtering; the pipeline
@@ -226,7 +310,26 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     # all-zero frames (batch padding)
     guard = 1e-25 * jnp.maximum(1.0, jnp.abs(ac_all[:, 0]))
     ac_all = ac_all.at[:, 0].add(guard.astype(ac_all.dtype))
-    inv_all = jax.vmap(_toeplitz_inverse_c)(ac_all)
+    if solver == "levinson":
+        # O(m²) Levinson recursion + Gohberg-Semencul generators instead of
+        # O(m³) dense inverses: the per-bin solve in the scan becomes four
+        # padded-FFT convolutions (gs_apply)
+        x_all = levinson_first_col(ac_all)
+        fft_m = _next_pow2(2 * m)
+        fx_all, fy_all, delta_all = gs_generators(x_all, fft_m)
+        solve_xs = (fx_all, fy_all, delta_all)
+
+        def apply_inv(sd, cc):
+            fx, fy, delta = sd
+            return gs_apply(fx, fy, delta, cc)
+    elif solver == "cholesky":
+        inv_all = jax.vmap(_toeplitz_inverse_c)(ac_all)
+        solve_xs = (inv_all,)
+
+        def apply_inv(sd, cc):
+            return sd[0] @ cc
+    else:
+        raise ValueError(f"unknown toeplitz solver {solver!r}")
 
     # Δcc kernels: R_b[j, t] = conj(rs_b[t-j]) for t ≥ j — the effect of a
     # head-supported time correction on the first m correlation lags
@@ -245,7 +348,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
     def body(carry, xs):
         f_cur, ifft_head, corr = carry
-        f_rs, rs_tail, inv, r_mat = xs
+        f_rs, rs_tail, sd, r_mat = xs
         # linear correlation of cur = ifft(f_cur) + scatter(corr):
         #   circular(f_cur part) + R·corr (the corr's in-range lags; its wrap
         #   lags cancel against the wrap subtraction, which therefore applies
@@ -253,7 +356,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
         cc = partial_ifft(f_cur * jnp.conj(f_rs), m) \
             + r_mat @ corr \
             - _tri_corr_wrap(ifft_head, rs_tail, m)
-        taps = (inv @ cc).astype(jnp.complex64)
+        taps = apply_inv(sd, cc).astype(jnp.complex64)
         f_clutter = f_rs * sparse_fft(taps, n)
         head_fix = _tri_conv_wrap(taps, rs_tail, m)
         f_cur = f_cur - f_clutter
@@ -263,7 +366,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
     (f_cur, _, corr), _ = jax.lax.scan(
         body, (f_cur0, head0, jnp.zeros(m, srv.dtype)),
-        (f_rs_all, tails, inv_all, r_all))
+        (f_rs_all, tails, solve_xs, r_all))
     out = jnp.fft.ifft(f_cur)
     out = out.at[:m].add(corr)
     return out.astype(jnp.complex64)

@@ -12,6 +12,9 @@ from scipy.linalg import solve_toeplitz
 
 from passiveradar_tpu.ops.clutter import (
     gal_jpe,
+    gs_apply,
+    gs_generators,
+    levinson_first_col,
     ls_filter,
     ls_filter_multiple,
     ls_filter_svd,
@@ -80,12 +83,59 @@ def test_ls_filter_toeplitz_suppresses_direct_path(rng):
     assert supp < -30
 
 
-def test_ls_filter_multiple_matches_sequential_oracle(rng):
+def test_levinson_gs_matches_direct_inverse(rng):
+    # batched Hermitian PD Toeplitz systems from colored-noise
+    # autocorrelations — the clutter precompute's actual regime
+    m, n, batch = 48, 16384, 6
+    xs, vs = [], []
+    for _ in range(batch):
+        sig = sps.lfilter([1, 0.6, 0.25], [1], _cnoise(rng, n, np.complex128))
+        ac = np.array([np.vdot(sig[:n - l], sig[l:]) for l in range(m)]).conj()
+        ac[0] = ac[0].real + 0j
+        xs.append(ac)
+        vs.append(_cnoise(rng, m, np.complex128) * np.abs(ac[0]))
+    c = np.stack(xs).astype(np.complex64)
+    v = np.stack(vs).astype(np.complex64)
+    x = levinson_first_col(c)
+    fx, fy, delta = gs_generators(x, 128)
+    got = np.asarray(gs_apply(fx, fy, delta, v))
+    for b in range(batch):
+        want = solve_toeplitz(xs[b], vs[b])
+        err = np.max(np.abs(got[b] - want)) / np.max(np.abs(want))
+        assert err < 2e-3, (b, err)
+
+
+def test_ls_filter_multiple_solver_equivalence(rng):
+    # levinson/G-S path must agree with the dense Cholesky path
+    n, flen = 8192, 24
+    fs = 8192.0
+    ref = _cnoise(rng, n)
+    srv = (np.roll(ref, 2) + 0.05 * _cnoise(rng, n)).astype(np.complex64)
+    a = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1),
+                                      solver="levinson"))
+    b = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1),
+                                      solver="cholesky"))
+    assert np.max(np.abs(a - b)) < 2e-3 * np.max(np.abs(srv))
+
+
+def test_ls_filter_multiple_zero_frame_guard():
+    # all-zero frames (batch padding) must stay finite through the
+    # Levinson/G-S path, as they did through the guarded Cholesky
+    n, flen = 2048, 16
+    z = np.zeros(n, np.complex64)
+    out = np.asarray(ls_filter_multiple(z, z, flen, 2048.0, (0, 1, -1)))
+    assert np.all(np.isfinite(out))
+    assert np.max(np.abs(out)) == 0.0
+
+
+@pytest.mark.parametrize("solver", ["levinson", "cholesky"])
+def test_ls_filter_multiple_matches_sequential_oracle(rng, solver):
     n, flen = 4096, 16
     fs = 4096.0
     ref = _cnoise(rng, n)
     srv = (np.roll(ref, 2) + 0.05 * _cnoise(rng, n)).astype(np.complex64)
-    got = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1)))
+    got = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1),
+                                        solver=solver))
 
     cur = srv.astype(np.complex128)
     t = np.arange(n) / fs
