@@ -25,8 +25,37 @@ def main(argv=None):
                    help="Resume an interrupted run from the existing output file")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the run into DIR")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host: total process count (one per host); "
+                        "each host writes a .partN output shard")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="Multi-host: this host's process index")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="Multi-host: coordinator address host:port "
+                        "(omit on cloud TPU pods for auto-detection)")
     args = p.parse_args(argv)
     cfg = load(args)
+
+    if args.num_processes is not None or args.coordinator is not None:
+        from passiveradar_tpu.parallel.distributed import (
+            init_distributed, run_capture_multihost)
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        import jax
+        first = jax.process_index() == 0
+        if first:
+            banner(cfg)
+        t0 = time.time()
+        n, global_n = run_capture_multihost(
+            cfg, batch_frames=args.batch_frames, progress=first)
+        dt = time.time() - t0
+        print(f"[process {jax.process_index()}] {n} frames "
+              f"({n / dt:.1f} frames/s local); {global_n} frames globally")
+        if first and jax.process_count() > 1:
+            print("Reassemble the shard files with: python -m "
+                  "passiveradar_tpu.cli.concat --config <config>")
+        return
+
     banner(cfg)
 
     reader = CaptureReader(cfg)

@@ -95,6 +95,50 @@ class MapWriter:
             self._h5.close()
 
 
+def concat_parts(part_paths, out_path: str, ftype: str = "hdf5") -> int:
+    """Concatenate per-host `.partN` shard files into one global frame stack.
+
+    Each part holds a contiguous frame range in process order (the multi-host
+    output contract, parallel/distributed.py). Frames stream through one
+    part at a time, so the global stack never has to fit in host memory.
+    Returns the total frame count.
+    """
+    if ftype == "zarr" and _HAS_ZARR:
+        import zarr
+        srcs = [zarr.open(p, mode="r") for p in part_paths]
+        counts = [s.shape[2] for s in srcs]
+        total = sum(counts)
+        dst = zarr.open(out_path, mode="w",
+                        shape=srcs[0].shape[:2] + (total,),
+                        chunks=srcs[0].chunks, dtype=srcs[0].dtype)
+        at = 0
+        for s, n in zip(srcs, counts):
+            dst[:, :, at:at + n] = s[:]
+            at += n
+        dst.attrs["frames_done"] = total
+        return total
+    with h5py.File(out_path, "w") as out:
+        dst = None
+        at = 0
+        for p in part_paths:
+            with h5py.File(p, "r") as f:
+                src = f["/xambg"]
+                n = src.shape[2]
+                if dst is None:
+                    total = n  # grown below; maxshape allows extension
+                    dst = out.create_dataset(
+                        "/xambg", shape=src.shape[:2] + (n,),
+                        maxshape=src.shape[:2] + (None,),
+                        dtype=src.dtype, chunks=src.chunks)
+                else:
+                    dst.resize(at + n, axis=2)
+                dst[:, :, at:at + n] = src[:]
+                at += n
+        if dst is not None:
+            dst.attrs["frames_done"] = at
+    return at
+
+
 def load_maps(cfg: RadarConfig, path: str | None = None) -> np.ndarray:
     """Load |CAF| frame stack the way the post-processing scripts do
     (reference range_doppler_plot.py:40-48): returns abs(xambg) as

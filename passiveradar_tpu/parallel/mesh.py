@@ -22,6 +22,16 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "frames") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def local_mesh(axis_name: str = "frames") -> Mesh:
+    """A 1-D mesh over this process's local devices only.
+
+    The multi-host runtime (parallel/distributed.py) runs one independent
+    local-mesh program per host — host-boundary halos come off disk, so no
+    cross-host mesh is needed on the hot path.
+    """
+    return Mesh(np.asarray(jax.local_devices()), (axis_name,))
+
+
 def frame_sharding(mesh: Mesh, axis_name: str = "frames") -> NamedSharding:
     """NamedSharding that splits the leading (frame) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))
