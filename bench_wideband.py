@@ -1,0 +1,104 @@
+"""Wideband multi-illuminator benchmark (BASELINE config 4).
+
+DVB-T-class geometry: an 8 MHz band split into K=8 critically-sampled 1 MHz
+channels by the polyphase channelizer, each running the full per-channel
+clutter-cancellation + CAF chain (wideband.wideband_frames). One wideband
+CPI is 2,097,152 samples (262144 per channel, 0.26 s of airtime).
+
+The reference has no wideband path at all (it processes one FM channel per
+run), so vs_baseline reports the real-time multiple: CPIs/s x CPI seconds
+(how many 8 MHz bands one chip can process live).
+
+Prints one JSON line:
+  {"metric": "wideband_cpi_per_s", "value": N, "unit": "CPI/s", "vs_baseline": R}
+"""
+
+import json
+import sys
+import time
+
+from bench_util import child_or_retry
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from passiveradar_tpu.config import derive_config
+    from passiveradar_tpu.wideband import wideband_frames
+
+    params = dict(
+        input_sample_rate=8_000_000,
+        input_center_freq=0,
+        channel_freq=0,
+        channel_bandwidth=8_000_000,
+        cpi_seconds_nominal=0.25,
+        max_doppler_nominal=256.0,
+        max_range_nominal=60.0,
+        wideband_channels=8,
+        num_frames=10_000,
+    )
+    cfg = derive_config(params)
+    batch = 4
+    n = cfg.cpi_samples * cfg.wideband_channels
+
+    # device-side synthetic wideband capture: bandlimited noise band plus a
+    # delayed/Doppler-shifted echo (the host CPU is far too slow for this)
+    @jax.jit
+    def synth(key):
+        k1, k2 = jax.random.split(key)
+        base = (jax.random.normal(k1, (batch, n))
+                + 1j * jax.random.normal(k2, (batch, n))).astype(jnp.complex64)
+        # light spectral shaping so the band is not white
+        f = jnp.fft.fft(base, axis=1)
+        shape = jnp.exp(-0.5 * (jnp.linspace(-2, 2, n)) ** 2) + 0.2
+        ref = jnp.fft.ifft(f * shape, axis=1).astype(jnp.complex64)
+        t = jnp.arange(n, dtype=jnp.float32) / cfg.input_sample_rate
+        echo = jnp.roll(ref, 24, axis=1) * jnp.exp(
+            1j * 2 * jnp.pi * 40.0 * t)[None, :]
+        srv = 0.7 * ref + 0.05 * echo
+        return ref, srv.astype(jnp.complex64)
+
+    t0 = time.time()
+    ref, srv = synth(jax.random.PRNGKey(1))
+    ref2, srv2 = synth(jax.random.PRNGKey(2))
+    jax.block_until_ready((ref, srv, ref2, srv2))
+    gen_s = time.time() - t0
+
+    summ = jax.jit(lambda x, a: a + jnp.sum(jnp.abs(x)))
+
+    t0 = time.time()
+    out = wideband_frames(ref, srv, cfg)
+    float(summ(out, jnp.float32(0.0)))
+    compile_s = time.time() - t0
+
+    reps = 8
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for i in range(reps):
+        out = wideband_frames(ref if i % 2 else ref2,
+                              srv if i % 2 else srv2, cfg)
+        acc = summ(out, acc)
+    float(acc)
+    elapsed = time.time() - t0
+
+    cpi_per_s = reps * batch / elapsed
+    realtime = cpi_per_s * cfg.cpi_seconds_actual
+    print(json.dumps({
+        "metric": "wideband_cpi_per_s",
+        "value": round(cpi_per_s, 2),
+        "unit": "CPI/s",
+        "vs_baseline": round(realtime, 2),
+    }))
+    print(f"# geometry: {cfg.wideband_channels} ch x "
+          f"{cfg.num_doppler_cells}x{cfg.num_range_cells + 1} maps from "
+          f"{n}-sample wideband CPIs; batch={batch}; "
+          f"{cpi_per_s * n / 1e6:.0f} Msamples/s/chip; gen={gen_s:.1f}s "
+          f"compile={compile_s:.1f}s run={elapsed:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    child_or_retry(main)

@@ -31,9 +31,16 @@ def main(argv=None):
     reader = CaptureReader(cfg)
     total = min(reader.num_frames, cfg.num_frames, args.max_frames
                 or reader.num_frames)
-    sp = StreamingProcessor(cfg, n_tracks=args.tracks)
+    wideband = cfg.wideband_channels >= 2
+    if wideband:
+        from passiveradar_tpu.wideband import WidebandStreamingProcessor
+        sp = WidebandStreamingProcessor(cfg, n_tracks=args.tracks)
+        print(f"Wideband streaming: {cfg.wideband_channels} channels, "
+              f"tracking on {list(cfg.wideband_channel_select)}")
+    else:
+        sp = StreamingProcessor(cfg, n_tracks=args.tracks)
 
-    def report(res):
+    def report(res, label=""):
         if res is None:
             return
         status = np.asarray(res.tracks["status"])
@@ -42,13 +49,18 @@ def main(argv=None):
         msg = ", ".join(
             f"track{i}: {est[i, 0]:.1f} km / {est[i, 1]:+.1f} Hz"
             for i in confirmed) or "no confirmed tracks"
-        print(f"frame {res.frame_index:4d}: {msg}", flush=True)
+        print(f"frame {res.frame_index:4d}{label}: {msg}", flush=True)
 
     t0 = time.time()
     for f in range(total):
         ref, srv = reader.read_iq_frames(f, 1)
-        report(sp.push(ref[0], srv[0]))
-    report(sp.flush())
+        if wideband:
+            for k, res in sp.push(ref[0], srv[0]).items():
+                report(res, f" ch{k}")
+        else:
+            report(sp.push(ref[0], srv[0]))
+    if not wideband:
+        report(sp.flush())
     dt = time.time() - t0
     print(f"Streamed {total} frames in {dt:.1f} s "
           f"({total / dt:.1f} frames/s; capture real-time rate is "

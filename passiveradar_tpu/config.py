@@ -68,6 +68,13 @@ class RadarConfig:
     overlap_cpi: bool = True
 
     # ---- framework-specific knobs (no reference analog) -------------------------
+    # Wideband / multi-illuminator mode (BASELINE config 4): >= 2 activates
+    # the polyphase channelizer front-end — the capture is split into
+    # wideband_channels critically-sampled channels, each running its own
+    # clutter + CAF chain (wideband.py). Channel k is centred at +k·fs/K.
+    wideband_channels: int = 0
+    wideband_channel_select: tuple = ()   # PFB channel indices (empty = all)
+    wideband_taps_per_branch: int = 12    # PFB prototype length per branch
     clutter_doppler_bins: tuple = (0, 1, -1, 2, -2)  # reference main.py:174
     clutter_method: str = "ls_multiple"  # ls_multiple | nlms | nlms_pallas | none
     nlms_mu: float = 0.05                # step size for the nlms methods
@@ -126,6 +133,7 @@ _RAW_KEYS = {
     "max_doppler_nominal", "max_range_nominal", "overlap_cpi",
     "clutter_doppler_bins", "clutter_method", "nlms_mu", "caf_window",
     "caf_short_filt", "frame_batch", "max_measurements",
+    "wideband_channels", "wideband_channel_select", "wideband_taps_per_branch",
 }
 
 
@@ -138,10 +146,14 @@ def derive_config(params: Mapping[str, Any]) -> RadarConfig:
     raw = {k: v for k, v in params.items() if k in _RAW_KEYS}
     if "clutter_doppler_bins" in raw:
         raw["clutter_doppler_bins"] = tuple(raw["clutter_doppler_bins"])
+    if "wideband_channel_select" in raw:
+        raw["wideband_channel_select"] = tuple(raw["wideband_channel_select"])
     if "caf_window" in raw:
         raw["caf_window"] = tuple(raw["caf_window"]) if not isinstance(
             raw["caf_window"], str) else raw["caf_window"]
     c = RadarConfig(**raw)
+    if c.wideband_channels >= 2:
+        return _derive_wideband(c)
 
     # CPI length in IF samples: power of two (reference config.py:15).
     cpi_samples = nextpow2(c.channel_bandwidth * c.cpi_seconds_nominal)
@@ -204,6 +216,54 @@ def derive_config(params: Mapping[str, Any]) -> RadarConfig:
         output_chunk_length=output_chunk_length,
         window_overlap=window_overlap,
         frame_interval=frame_interval,
+        range_doppler_map_fname=(
+            c.output_fname + "." + c.range_doppler_map_ftype),
+        meta_fname=c.output_fname + ".npz",
+    )
+
+
+def _derive_wideband(c: RadarConfig) -> RadarConfig:
+    """Derived geometry for the wideband multi-illuminator mode.
+
+    The polyphase channelizer replaces the mixer/resampler front-end: the
+    K critically-sampled channels come out at fs/K directly (no rational
+    resample, no tuning offset), so the per-channel CAF geometry derives
+    from the channel rate. CPIs are non-overlapping (each wideband frame is
+    one full CPI across all channels); this is a capability extension over
+    the reference, which has no wideband path at all.
+    """
+    k = c.wideband_channels
+    ch_rate = c.input_sample_rate / k
+    cpi_samples = nextpow2(ch_rate * c.cpi_seconds_nominal)
+    cpi_actual = cpi_samples / ch_rate
+    doppler_cell_width = 1.0 / cpi_actual
+    range_cell_width = 2.998e5 / ch_rate
+    num_range_cells = round(c.max_range_nominal / range_cell_width)
+    num_doppler_cells = nearestpow2(2 * c.max_doppler_nominal * cpi_actual)
+    select = c.wideband_channel_select or tuple(range(k))
+    if any(s < 0 or s >= k for s in select):
+        raise ValueError(f"wideband_channel_select {select} outside 0..{k - 1}")
+    return dataclasses.replace(
+        c,
+        overlap_cpi=False,
+        wideband_channel_select=select,
+        cpi_samples=cpi_samples,
+        desired_IF_sample_rate=ch_rate,
+        resamp_up=1,
+        resamp_dn=1,
+        IF_sample_rate=ch_rate,
+        cpi_seconds_actual=cpi_actual,
+        doppler_cell_width=doppler_cell_width,
+        range_cell_width=range_cell_width,
+        num_range_cells=num_range_cells,
+        max_range_actual=num_range_cells * range_cell_width,
+        num_doppler_cells=num_doppler_cells,
+        max_doppler_actual=num_doppler_cells / (2 * cpi_actual),
+        offset_freq=0,
+        input_chunk_length=2 * k * cpi_samples,
+        output_chunk_length=cpi_samples,
+        window_overlap=0,
+        frame_interval=cpi_actual,
         range_doppler_map_fname=(
             c.output_fname + "." + c.range_doppler_map_ftype),
         meta_fname=c.output_fname + ".npz",

@@ -1,10 +1,18 @@
-"""Wideband / multi-illuminator processing.
+"""Wideband / multi-illuminator processing (BASELINE config 4/5).
 
 For wideband captures (DVB-T-class bands, or a band spanning several FM
 stations) the capture is first split by the polyphase channelizer
 (ops/channelizer.py); each channel then runs its own clutter-cancellation +
 CAF chain, vmapped over the channel axis — the per-illuminator parallel axis.
 On a pod, channels (or channel groups) map naturally onto mesh devices.
+
+Surfaces:
+  * ``process_wideband_frame`` — the core library op (explicit parameters).
+  * ``wideband_frames`` / ``run_wideband_capture`` — the config-driven batch
+    pipeline and host loop (activated by ``wideband_channels`` in the YAML;
+    per-channel output stacks land in ``<output>.chK.<ftype>``).
+  * ``WidebandStreamingProcessor`` — real-time push-per-CPI processing with
+    per-channel CAF + CFAR + multitarget tracking (BASELINE config 5).
 
 This is a capability extension over the reference (which processes one FM
 channel per run); the per-channel chain itself is the standard pipeline.
@@ -16,7 +24,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from passiveradar_tpu.config import RadarConfig
 from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
 from passiveradar_tpu.ops.channelizer import channelize_pair
 from passiveradar_tpu.ops.clutter import ls_filter_multiple
@@ -62,3 +72,168 @@ def integrate_channels(maps: jnp.ndarray) -> jnp.ndarray:
     channels because all channels share one sample rate.
     """
     return jnp.sum(jnp.abs(maps), axis=0)
+
+
+# --------------------------------------------------------------------------
+# config-driven pipeline (BASELINE config 4)
+# --------------------------------------------------------------------------
+
+def channel_path(cfg: RadarConfig, k: int) -> str:
+    """Output stack path for PFB channel k (plot/track tools read these)."""
+    return f"{cfg.output_fname}.ch{k}.{cfg.range_doppler_map_ftype}"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def wideband_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
+                    cfg: RadarConfig) -> jnp.ndarray:
+    """Wideband frame batch → per-channel range-Doppler maps.
+
+    raw_*: (F, N) complex64 or (F, N, 2) float32 IQ pairs with
+    N = wideband_channels · cpi_samples (one full CPI per frame — wideband
+    CPIs are non-overlapping, config._derive_wideband). Returns
+    (F, len(select), num_doppler_cells, num_range_cells+1) complex64.
+    """
+    def to_c(x):
+        if jnp.iscomplexobj(x):
+            return x
+        return jax.lax.complex(x[..., 0], x[..., 1]).astype(jnp.complex64)
+
+    win = resolve_window(cfg.caf_window, cfg.cpi_samples)
+    win_j = None if win is None else jnp.asarray(win)
+    select = jnp.asarray(np.asarray(cfg.wideband_channel_select, np.int32))
+
+    def per_frame(r, s):
+        refc, srvc = channelize_pair(r, s, cfg.wideband_channels,
+                                     taps_per_branch=cfg.wideband_taps_per_branch)
+        refc = refc.T[select]                # (S, cpi_samples)
+        srvc = srvc.T[select]
+
+        def per_channel(rc, sc):
+            clean = ls_filter_multiple(rc, sc, cfg.num_range_cells,
+                                       cfg.IF_sample_rate,
+                                       cfg.clutter_doppler_bins)
+            return fast_xambg(rc, clean, cfg.num_range_cells,
+                              cfg.num_doppler_cells, window=win_j,
+                              short_filt=cfg.caf_short_filt)
+
+        return jax.vmap(per_channel)(refc, srvc)
+
+    return jax.vmap(per_frame)(to_c(raw_ref), to_c(raw_srv))
+
+
+def run_wideband_capture(reader, cfg: RadarConfig,
+                         batch_frames: int | None = None,
+                         writers: dict | None = None,
+                         progress: bool = True) -> int:
+    """Host loop: stream a wideband capture into per-channel map stacks.
+
+    ``writers``: {channel_index: MapWriter-like} (default: one MapWriter per
+    selected channel at channel_path(cfg, k)). Every dispatch uses one fixed
+    shape (zero-padded final batch) so exactly one XLA program compiles.
+    """
+    from passiveradar_tpu.io.hdf5 import PrefetchReader
+    from passiveradar_tpu.io.writers import MapWriter
+    from passiveradar_tpu.ops.util import to_host_complex
+
+    total = min(reader.num_frames, cfg.num_frames)
+    bf = batch_frames or cfg.frame_batch
+    select = cfg.wideband_channel_select
+    own_writers = writers is None
+    if own_writers:
+        writers = {k: MapWriter(cfg, total, channel_path(cfg, k))
+                   for k in select}
+
+    batches = [(s, min(bf, total - s)) for s in range(0, total, bf)]
+    prefetch = PrefetchReader(reader, batches, mode="iq")
+    lc = cfg.input_chunk_length // 2
+    done = 0
+    for (start, count), (_, _, (ref_raw, srv_raw)) in zip(batches, prefetch):
+        buf_ref = np.zeros((bf, lc, 2), np.float32)
+        buf_srv = np.zeros((bf, lc, 2), np.float32)
+        buf_ref[:count] = ref_raw.view(np.float32).reshape(count, lc, 2)
+        buf_srv[:count] = srv_raw.view(np.float32).reshape(count, lc, 2)
+        maps = wideband_frames(jnp.asarray(buf_ref), jnp.asarray(buf_srv),
+                               cfg)
+        maps = to_host_complex(maps)[:count]     # (count, S, nf, R+1)
+        for i, k in enumerate(select):
+            writers[k].write(maps[:, i], start)
+        done += count
+        if progress:
+            print(f"\r  processed {done}/{total} wideband CPIs", end="",
+                  flush=True)
+    if progress:
+        print()
+    if own_writers:
+        for w in writers.values():
+            w.close()
+    return total
+
+
+# --------------------------------------------------------------------------
+# streaming multi-illuminator mode (BASELINE config 5)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fw", "gw"))
+def _wideband_step(raw_ref, raw_srv, cfg: RadarConfig, fw: int, gw: int):
+    """One wideband CPI → per-channel (caf, cfar) stacks."""
+    from passiveradar_tpu.ops.cfar import cfar_2d
+    maps = wideband_frames(raw_ref[None], raw_srv[None], cfg)[0]
+    cf = jax.vmap(lambda m: cfar_2d(jnp.abs(m), fw, gw))(maps)
+    return maps, cf
+
+
+class WidebandStreamingProcessor:
+    """Real-time wideband processor: one push per wideband CPI.
+
+    Each push channelizes the CPI, runs per-channel clutter + CAF + CFAR in
+    one compiled step, then advances an independent multitarget tracker per
+    selected channel (each illuminator has its own bistatic geometry).
+    Unlike the narrowband StreamingProcessor there is no one-frame latency:
+    wideband CPIs are non-overlapping, so results return immediately.
+    """
+
+    def __init__(self, cfg: RadarConfig, n_tracks: int = 10,
+                 cfar_kernel: tuple = (18, 4)):
+        from passiveradar_tpu.detect.trackers import init_tracks
+        if cfg.wideband_channels < 2:
+            raise ValueError("cfg.wideband_channels must be >= 2; "
+                             "set it in the YAML to enable wideband mode")
+        self.cfg = cfg
+        self.n_tracks = n_tracks
+        self.cfar_kernel = cfar_kernel
+        self._tracks = {k: init_tracks(n_tracks)
+                        for k in cfg.wideband_channel_select}
+        self._extent = jnp.asarray(
+            (cfg.max_doppler_actual, cfg.max_range_actual), jnp.float32)
+        self._index = 0
+
+    def push(self, raw_ref: np.ndarray, raw_srv: np.ndarray) -> dict:
+        """Feed one wideband CPI per channel pair (complex64 of
+        wideband_channels·cpi_samples, or the float32 IQ-pair view).
+        Returns {channel_index: StreamResult} for this CPI."""
+        from passiveradar_tpu.detect.trackers import multitarget_step
+        from passiveradar_tpu.ops.util import to_host_complex
+        from passiveradar_tpu.streaming import StreamResult
+        cfg = self.cfg
+
+        def ship(raw):
+            raw = np.asarray(raw)
+            if np.iscomplexobj(raw):
+                raw = raw.view(np.float32).reshape(-1, 2)
+            return jnp.asarray(raw)
+
+        maps, cf = _wideband_step(ship(raw_ref), ship(raw_srv), cfg,
+                                  *self.cfar_kernel)
+        results = {}
+        for i, k in enumerate(cfg.wideband_channel_select):
+            self._tracks[k] = multitarget_step(
+                self._tracks[k], cf[i], self._extent, self.n_tracks,
+                cfg.candidate_budget)
+            results[k] = StreamResult(
+                frame_index=self._index,
+                caf=to_host_complex(maps[i]),
+                cfar=np.asarray(cf[i]),
+                tracks=jax.tree.map(np.asarray, self._tracks[k]),
+            )
+        self._index += 1
+        return results

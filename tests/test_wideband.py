@@ -1,9 +1,132 @@
 """Polyphase channelizer and wideband multi-illuminator pipeline."""
 
+import h5py
 import numpy as np
+import pytest
 
+from passiveradar_tpu.config import derive_config
 from passiveradar_tpu.ops.channelizer import channelize, channelize_pair
-from passiveradar_tpu.wideband import integrate_channels, process_wideband_frame
+from passiveradar_tpu.wideband import (
+    WidebandStreamingProcessor,
+    channel_path,
+    integrate_channels,
+    process_wideband_frame,
+    run_wideband_capture,
+    wideband_frames,
+)
+
+WB = dict(
+    input_ref_path="/data/ref",
+    input_srv_path="/data/srv",
+    range_doppler_map_ftype="hdf5",
+    num_frames=3,
+    input_sample_rate=65536,
+    input_center_freq=0,
+    channel_freq=0,
+    channel_bandwidth=65536,
+    cpi_seconds_nominal=0.25,
+    max_doppler_nominal=128.0,
+    max_range_nominal=150.0,
+    wideband_channels=4,
+    wideband_channel_select=(1, 2),
+    frame_batch=2,
+)
+
+
+def _wb_cfg(tmp_path, **over):
+    params = dict(WB, input_file=str(tmp_path / "wb.hdf5"),
+                  output_fname=str(tmp_path / "WB"), **over)
+    return params, derive_config(params)
+
+
+def _wb_signals(cfg, n_frames, rng, delay=8, dop=6.0):
+    """Wideband ref/srv with one station per selected channel and a common
+    target echo (delay wideband samples, +dop Hz)."""
+    k = cfg.wideband_channels
+    fs = float(cfg.input_sample_rate)
+    n = cfg.cpi_samples * k * n_frames
+    t = np.arange(n) / fs
+    ref = np.zeros(n, np.complex64)
+    for ch in cfg.wideband_channel_select:
+        s = np.convolve(rng.standard_normal(n) + 1j * rng.standard_normal(n),
+                        np.ones(8) / 8, "same")
+        ref += (s * np.exp(1j * 2 * np.pi * (ch * fs / k) * t)).astype(
+            np.complex64)
+    echo = np.roll(ref, delay) * np.exp(1j * 2 * np.pi * dop * t)
+    srv = (0.7 * ref + 0.1 * echo
+           + 1e-3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+           ).astype(np.complex64)
+    return ref.astype(np.complex64), srv
+
+
+def test_wideband_config_derivation(tmp_path):
+    _, cfg = _wb_cfg(tmp_path)
+    assert cfg.IF_sample_rate == 16384.0
+    assert cfg.cpi_samples == 4096            # nextpow2(16384 * 0.25)
+    assert cfg.input_chunk_length == 2 * 4 * 4096
+    assert cfg.output_chunk_length == 4096
+    assert cfg.window_overlap == 0            # wideband CPIs don't overlap
+    assert cfg.num_doppler_cells == 64
+    assert cfg.num_range_cells == 8
+    assert cfg.wideband_channel_select == (1, 2)
+    assert (cfg.resamp_up, cfg.resamp_dn) == (1, 1)
+    # select defaults to all channels; out-of-range selections are rejected
+    _, cfg_all = _wb_cfg(tmp_path, wideband_channel_select=())
+    assert cfg_all.wideband_channel_select == (0, 1, 2, 3)
+    with pytest.raises(ValueError):
+        _wb_cfg(tmp_path, wideband_channel_select=(5,))
+
+
+def test_wideband_capture_end_to_end(tmp_path, rng):
+    params, cfg = _wb_cfg(tmp_path)
+    delay, dop = 8, 6.0
+    ref, srv = _wb_signals(cfg, 3, rng, delay, dop)
+    with h5py.File(params["input_file"], "w") as f:
+        f.create_dataset("/data/ref", data=ref.view(np.float32))
+        f.create_dataset("/data/srv", data=srv.view(np.float32))
+
+    from passiveradar_tpu.cli.wideband import main as wb_main
+    import yaml
+    cfg_path = str(tmp_path / "wb.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(params, f)
+    wb_main(["--config", cfg_path])
+
+    nf, r = cfg.num_doppler_cells, cfg.num_range_cells
+    k = cfg.wideband_channels
+    for ch in (1, 2):
+        with h5py.File(channel_path(cfg, ch)) as f:
+            stack = np.asarray(f["/xambg"])
+        assert stack.shape == (nf, r + 1, 3)
+        for fr in range(3):
+            m = np.abs(stack[:, :, fr])
+            fbin, rbin = np.unravel_index(np.argmax(m), m.shape)
+            assert rbin == r - delay // k, (ch, fr, rbin)
+            assert abs(fbin - (nf // 2 - round(dop / cfg.doppler_cell_width))
+                       ) <= 1, (ch, fr, fbin)
+    meta = np.load(cfg.meta_fname)
+    assert meta["frame_timestamps"].shape == (3,)
+    assert meta["range_bins"].shape == (r + 1,)
+
+
+def test_wideband_streaming_matches_offline(tmp_path, rng):
+    params, cfg = _wb_cfg(tmp_path)
+    ref, srv = _wb_signals(cfg, 3, rng)
+    n = cfg.cpi_samples * cfg.wideband_channels
+    offline = np.asarray(wideband_frames(
+        ref.reshape(3, n), srv.reshape(3, n), cfg))
+
+    sp = WidebandStreamingProcessor(cfg, n_tracks=4)
+    for fr in range(3):
+        results = sp.push(ref[fr * n:(fr + 1) * n], srv[fr * n:(fr + 1) * n])
+        assert set(results) == {1, 2}
+        for i, ch in enumerate((1, 2)):
+            res = results[ch]
+            assert res.frame_index == fr
+            assert np.max(np.abs(res.caf - offline[fr, i])) \
+                <= 1e-4 * np.max(np.abs(offline[fr, i]))
+            assert res.cfar.shape == res.caf.shape
+            assert res.tracks["status"].shape == (4,)
 
 
 def _cnoise(rng, n):
