@@ -143,9 +143,12 @@ def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
     single chip).
 
     Decomposition: the segment-correlation stage is row-independent, so each
-    device computes freq_bins/ntp segment rows; a single all-gather then
-    rebuilds the full pre-FFT matrix and each device runs the Doppler FFT
-    over its slice of range lags. Output matches fast_xambg exactly.
+    device computes freq_bins/ntp segment rows; one all_to_all then
+    transposes the sharding from row-blocks to lag-blocks (moving 1/ntp of
+    the pre-FFT matrix per device — an all-gather would move the whole
+    matrix to every device and discard (ntp-1)/ntp of it), and each device
+    runs the Doppler FFT over its slice of range lags. Output matches
+    fast_xambg exactly.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -153,7 +156,6 @@ def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
     if freq_bins % ntp or (range_bins + 1) % ntp:
         raise ValueError("freq_bins and range_bins+1 must divide the mesh axis")
     rows_per = freq_bins // ntp
-    lags_per = (range_bins + 1) // ntp
     win = resolve_window(window, ref.shape[0])
     win_j = None if win is None else jnp.asarray(win)
 
@@ -162,10 +164,11 @@ def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
                                                  range_bins, freq_bins)
         me = jax.lax.axis_index(axis_name)
         pre_local = _caf_pre_rows(aa, pp, d, n_extra, range_bins, rows_per,
-                                  me * rows_per)
-        pre = jax.lax.all_gather(pre_local, axis_name, tiled=True)  # (nf, R+1)
-        my_lags = jax.lax.dynamic_slice_in_dim(pre, me * lags_per, lags_per,
-                                               axis=1)
+                                  me * rows_per)               # (nf/ntp, R+1)
+        # shard transpose: split the lag axis, concatenate the row axis —
+        # device j ends with all nf rows of its (R+1)/ntp lag block
+        my_lags = jax.lax.all_to_all(pre_local, axis_name, split_axis=1,
+                                     concat_axis=0, tiled=True)  # (nf, lags/ntp)
         out = jnp.fft.fftshift(jnp.fft.fft(my_lags, axis=0), axes=0)
         return out.astype(jnp.complex64)
 

@@ -128,3 +128,27 @@ def test_fast_xambg_tp_matches_single_device(rng):
     want = np.asarray(fast_xambg(ref, srv, r, nf, window=("kaiser", 5.0)))
     assert got.shape == want.shape
     assert np.max(np.abs(got - want)) < 1e-5 * np.max(np.abs(want))
+
+
+def test_fast_xambg_tp_fm_geometry(rng):
+    """TP CAF at the real FM frame geometry (1024x176, 524288-sample CPI)
+    over the 8-device mesh, with a target check against the single-device
+    path. r+1 = 176 divides 8."""
+    from passiveradar_tpu.ops.caf import fast_xambg_tp
+    from passiveradar_tpu.parallel.mesh import make_mesh
+
+    n, nf, r = 524288, 1024, 175
+    fs = float(n) / 2.0          # 2 s CPI, 0.5 Hz Doppler cells
+    ref = _cnoise(rng, n)
+    t = np.arange(n) / fs
+    srv = (0.05 * np.roll(ref, 40) * np.exp(1j * 2 * np.pi * 20.0 * t)
+           + 0.01 * _cnoise(rng, n)).astype(np.complex64)
+    mesh = make_mesh(8, axis_name="tp")
+    got = np.asarray(fast_xambg_tp(ref, srv, r, nf, mesh,
+                                   window=("kaiser", 5.0)))
+    want = np.asarray(fast_xambg(ref, srv, r, nf, window=("kaiser", 5.0)))
+    assert got.shape == (nf, r + 1)
+    assert np.max(np.abs(got - want)) < 1e-5 * np.max(np.abs(want))
+    fbin, rbin = np.unravel_index(np.argmax(np.abs(got)), got.shape)
+    assert rbin == r - 40
+    assert abs(fbin - (nf // 2 - 40)) <= 1   # 20 Hz / 0.5 Hz cells
