@@ -34,6 +34,7 @@ import numpy as np
 from scipy import signal as _spsignal
 
 from passiveradar_tpu.ops.fir import decimate_taps, design_lowpass
+from passiveradar_tpu.ops.mxufft import dft_matmul, fft_auto, ifft_auto, use_mxu
 from passiveradar_tpu.ops.xcorr import xcorr
 
 
@@ -114,9 +115,18 @@ def _caf_pre_rows(aa, pp, d: int, n_extra: int, range_bins: int,
     # segment correlation: c[m, s] = Σ_i A[m, i] * S[m, i+s],  s = 0..R
     s_win = windows_from(0, d + r)
     fft_len = _next_pow2(d + r + 1)
-    fs_ = jnp.fft.fft(s_win, fft_len, axis=1)
-    fa_ = jnp.fft.fft(jnp.conj(a_rows[:nf]), fft_len, axis=1)
-    c = jnp.fft.ifft(fs_ * jnp.conj(fa_), axis=1)[:, :r + 1]
+    if use_mxu() and fft_len <= 4096:
+        # forward transforms read only their d+r / d nonzero inputs and the
+        # inverse keeps only r+1 of fft_len outputs — sliced DFT matmuls do
+        # that fraction of the work on the MXU instead of full VPU FFTs
+        fs_ = dft_matmul(s_win, axis=1, n=fft_len)
+        fa_ = dft_matmul(jnp.conj(a_rows[:nf]), axis=1, n=fft_len)
+        c = dft_matmul(fs_ * jnp.conj(fa_), axis=1, inverse=True,
+                       out_len=r + 1)
+    else:
+        fs_ = fft_auto(s_win, fft_len, axis=1)
+        fa_ = fft_auto(jnp.conj(a_rows[:nf]), fft_len, axis=1)
+        c = ifft_auto(fs_ * jnp.conj(fa_), axis=1)[:, :r + 1]
 
     # boundary sample of each centred window: a[(m+1)d - half] * sext[(m+1)d + s]
     term = a_rows[1:nf + 1, 0:1] * windows_from(1, r + 1)
@@ -131,7 +141,7 @@ def _fast_xambg_seg(ref, srv, window, range_bins: int, freq_bins: int):
     aa, pp, d, n_extra = _caf_segment_tables(ref, srv, window, range_bins,
                                              freq_bins)
     pre = _caf_pre_rows(aa, pp, d, n_extra, range_bins, freq_bins)
-    out = jnp.fft.fftshift(jnp.fft.fft(pre, axis=0), axes=0)
+    out = jnp.fft.fftshift(fft_auto(pre, axis=0), axes=0)
     return out.astype(jnp.complex64)
 
 
@@ -169,7 +179,7 @@ def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
         # device j ends with all nf rows of its (R+1)/ntp lag block
         my_lags = jax.lax.all_to_all(pre_local, axis_name, split_axis=1,
                                      concat_axis=0, tiled=True)  # (nf, lags/ntp)
-        out = jnp.fft.fftshift(jnp.fft.fft(my_lags, axis=0), axes=0)
+        out = jnp.fft.fftshift(fft_auto(my_lags, axis=0), axes=0)
         return out.astype(jnp.complex64)
 
     return jax.shard_map(

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from passiveradar_tpu.ops.mxufft import fft_auto, ifft_auto
 from passiveradar_tpu.ops.zoomfft import partial_ifft, sparse_fft
 
 
@@ -158,8 +159,8 @@ def gs_generators(x: jnp.ndarray, fft_len: int):
     y = jnp.concatenate(
         [jnp.zeros(x.shape[:-1] + (1,), x.dtype),
          jnp.conj(jnp.flip(x[..., 1:], -1))], axis=-1)
-    fx = jnp.fft.fft(x, fft_len, axis=-1)
-    fy = jnp.fft.fft(y, fft_len, axis=-1)
+    fx = fft_auto(x, fft_len, axis=-1)
+    fy = fft_auto(y, fft_len, axis=-1)
     delta = jnp.real(x[..., 0])
     return fx, fy, delta
 
@@ -175,13 +176,13 @@ def gs_apply(fx: jnp.ndarray, fy: jnp.ndarray, delta: jnp.ndarray,
     """
     m = v.shape[-1]
     fft_len = fx.shape[-1]
-    fv = jnp.fft.fft(v, fft_len, axis=-1)
-    ahv = jnp.fft.ifft(jnp.conj(fx) * fv, axis=-1)[..., :m]
-    aa = jnp.fft.ifft(fx * jnp.fft.fft(ahv, fft_len, axis=-1),
-                      axis=-1)[..., :m]
-    bhv = jnp.fft.ifft(jnp.conj(fy) * fv, axis=-1)[..., :m]
-    bb = jnp.fft.ifft(fy * jnp.fft.fft(bhv, fft_len, axis=-1),
-                      axis=-1)[..., :m]
+    fv = fft_auto(v, fft_len, axis=-1)
+    ahv = ifft_auto(jnp.conj(fx) * fv, axis=-1)[..., :m]
+    aa = ifft_auto(fx * fft_auto(ahv, fft_len, axis=-1),
+                   axis=-1)[..., :m]
+    bhv = ifft_auto(jnp.conj(fy) * fv, axis=-1)[..., :m]
+    bb = ifft_auto(fy * fft_auto(bhv, fft_len, axis=-1),
+                   axis=-1)[..., :m]
     return ((aa - bb) / delta[..., None].astype(aa.dtype)).astype(v.dtype)
 
 
@@ -275,6 +276,77 @@ def ls_filter_toeplitz(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     return out
 
 
+def _modulated_ref_spectra(ref, n: int, m: int, peek: int, sample_rate: float,
+                           doppler_bins):
+    """Spectra, heads and tails of the per-bin modulated references.
+
+    Returns (f_rs_all, heads, tails): the FFT of roll(ref·e^{j2πf_b t}, -peek)
+    for every Doppler bin, plus its first/last m time-domain samples.
+
+    Fast path: for integer bin shifts k (f_b·T cycles over the chunk ≈ an
+    integer — true for every near-integer-second CPI, including the reference
+    FM geometry where f_b·T = f_b·0.999844), FFT(ref·e^{j2πkt/N}) is EXACTLY
+    roll(FFT(ref), k); the residual fractional-bin ramp e^{jωδt} (δ = f_b·T−k,
+    |δ| ≈ 3e-4 here) expands as 1 + jωδt − (ωδt)²/2 with relative error
+    (2πδ)^{p+1}/(p+1)! < 5e-6 — below float32 round-off. So ALL bins'
+    spectra assemble from 2-3 base FFTs (ref, t·ref[, t²·ref]) by integer
+    spectrum rolls, instead of one full N-point FFT per bin. The roll by
+    -peek is an exact static phase ramp. Configs whose bins are far from
+    integer (|δ| > 5e-3) fall back to the direct per-bin FFTs.
+
+    Heads/tails are built from exact float64 host-side phase tables (more
+    accurate than the float32 device ramp they replace).
+    """
+    bins = [float(f) for f in doppler_bins]
+    nb = len(bins)
+    T = n / float(sample_rate)
+    mus = [f * T for f in bins]                   # oscillator cycles per chunk
+    ks = [int(round(mu)) for mu in mus]
+    deltas = [mu - k for mu, k in zip(mus, ks)]
+    dmax = max(abs(d) for d in deltas)
+    order = 1 if dmax <= 5e-4 else (2 if dmax <= 5e-3 else 0)
+
+    # exact heads/tails: rs_b[t] = ref[(t+peek) mod n]·e^{j2πc_b·((t+peek)%n)}
+    head_base = ref[peek:peek + m]
+    tail_base = jnp.concatenate([ref[n - m + peek:], ref[:peek]])
+    tau_h = np.arange(peek, peek + m, dtype=np.float64)
+    tau_t = np.arange(n - m + peek, n + peek, dtype=np.float64)
+    tau_t = np.where(tau_t < n, tau_t, tau_t - n)
+
+    def phase_tab(tau):
+        cyc = np.mod(np.outer(np.asarray(mus), tau / n), 1.0)
+        return jnp.asarray(np.exp(2j * np.pi * cyc).astype(np.complex64))
+
+    heads = head_base[None, :] * phase_tab(tau_h)
+    tails = tail_base[None, :] * phase_tab(tau_t)
+
+    if order == 0:
+        t32 = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
+        theta = 2.0 * np.pi * jnp.asarray(np.asarray(bins, np.float32))[:, None] \
+            * t32[None, :]
+        rs_all = jnp.roll(ref[None, :] * jax.lax.complex(jnp.cos(theta),
+                                                         jnp.sin(theta)),
+                          -peek, axis=1)
+        return fft_auto(rs_all, axis=1), heads, tails
+
+    w = 2.0 * np.pi / n
+    tdev = jnp.arange(n, dtype=jnp.float32)
+    f0 = fft_auto(ref)
+    f1 = fft_auto(ref * tdev)
+    f2 = fft_auto(ref * (tdev * tdev)) if order == 2 else None
+    ramp = jnp.asarray(np.exp(
+        2j * np.pi * np.mod(np.arange(n, dtype=np.float64) * peek / n, 1.0)
+    ).astype(np.complex64))                        # time roll by -peek
+    ys = []
+    for k, d in zip(ks, deltas):
+        s = np.float32(w * d)
+        y = jnp.roll(f0, k) + (1j * s) * jnp.roll(f1, k)
+        if order == 2:
+            y = y - np.float32(0.5 * (w * d) ** 2) * jnp.roll(f2, k)
+        ys.append(y)
+    return ramp[None, :] * jnp.stack(ys), heads, tails
+
+
 def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
                        sample_rate: float, doppler_bins=(0,),
                        solver: str = "levinson") -> jnp.ndarray:
@@ -283,28 +355,22 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     Nonzero bins frequency-shift the reference before filtering; the pipeline
     uses bins (0, 1, -1, 2, -2) Hz (reference main.py:174). The passes are a
     lax.scan over the bin axis so the filter body is compiled once, not once
-    per bin (the per-bin Doppler shifts are at most a few Hz, so the plain
-    float32 phase ramp is exact to ~1e-6 rad).
+    per bin; the per-bin spectra assemble from two base FFTs by integer
+    spectrum rolls (see _modulated_ref_spectra) instead of a full FFT per bin.
     """
     n = ref.shape[0]
     peek = 10
     m = filter_len + peek
-    freqs = jnp.asarray(np.asarray(doppler_bins, np.float32))
-    t = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
 
     # The Toeplitz system matrix of each pass depends only on the (modulated)
     # reference channel — never on the surveillance residual — so every bin's
-    # autocorrelation and Cholesky factor is computed up front in one batched
-    # shot; the sequential scan then only does the cheap per-bin work
-    # (cross-correlation, two triangular solves, clutter subtraction).
-    theta = 2.0 * np.pi * freqs[:, None] * t[None, :]
-    rs_all = jnp.roll(ref[None, :] * jax.lax.complex(jnp.cos(theta),
-                                                     jnp.sin(theta)),
-                      -peek, axis=1)                    # (n_bins, N)
-    f_rs_all = jnp.fft.fft(rs_all, axis=1)
-    tails = rs_all[:, n - m:]
+    # autocorrelation and solve generators are computed up front in one
+    # batched shot; the sequential scan then only does the cheap per-bin work
+    # (cross-correlation, generator solves, clutter subtraction).
+    f_rs_all, heads, tails = _modulated_ref_spectra(
+        ref, n, m, peek, sample_rate, doppler_bins)
     ac_all = partial_ifft(f_rs_all * jnp.conj(f_rs_all), m) \
-        - jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))(rs_all[:, :m], tails)
+        - jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))(heads, tails)
     # vanishing diagonal guard: relative 1e-25 is rounded away entirely for
     # real captures (below float32 eps) but keeps the Cholesky finite for
     # all-zero frames (batch padding)
@@ -337,13 +403,13 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     tt = np.arange(m)[None, :]
     didx = tt - jj
     r_all = jnp.where(jnp.asarray(didx >= 0),
-                      jnp.conj(rs_all[:, jnp.asarray(np.maximum(didx, 0))]), 0)
+                      jnp.conj(heads[:, jnp.asarray(np.maximum(didx, 0))]), 0)
 
     # The surveillance residual is carried in the FREQUENCY domain plus an
     # m-sparse time-domain head correction (cur = ifft(f_cur) + corr on the
     # first m samples), so each bin needs only zoom-FFT work — no full
     # N-point transform ever runs inside the bin loop.
-    f_cur0 = jnp.fft.fft(srv)
+    f_cur0 = fft_auto(srv)
     head0 = srv[:m]          # ifft(f_cur0)[:m] — the corr part starts at zero
 
     def body(carry, xs):
@@ -367,7 +433,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     (f_cur, _, corr), _ = jax.lax.scan(
         body, (f_cur0, head0, jnp.zeros(m, srv.dtype)),
         (f_rs_all, tails, solve_xs, r_all))
-    out = jnp.fft.ifft(f_cur)
+    out = ifft_auto(f_cur)
     out = out.at[:m].add(corr)
     return out.astype(jnp.complex64)
 

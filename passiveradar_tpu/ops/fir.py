@@ -329,12 +329,17 @@ def _mix_resample_jit(x, phase, h_key, up, down, c, mode, n_pre_remove,
     pad_rraw = max(0, total - (n_in + pad_lraw))
     xp = jnp.pad(planes, ((0, 0), (pad_lraw, pad_rraw)))[:, :total]
     r = xp.reshape(2, groups + n_slabs, down_)
-    out = None
-    for i in range(n_slabs):
-        bb = jnp.asarray(st["bank_ri"][:, i * down_:(i + 1) * down_])
-        part = jnp.einsum("bgc,pc->bgp", r[:, i:i + groups], bb,
-                          preferred_element_type=jnp.float32)
-        out = part if out is None else out + part
+    # all slabs in ONE einsum (slab-major output axis s = i·2up + p): with
+    # 2up ≈ 26 the MXU pads the output dim to 128 lanes regardless, so one
+    # n_slabs·2up-wide product halves the padded FLOPs of per-slab einsums;
+    # the slab sum then becomes cheap shifted row-block adds.
+    bk = jnp.asarray(st["bank_ri"]).reshape(2 * up, n_slabs, down_)
+    bk = bk.transpose(1, 0, 2).reshape(n_slabs * 2 * up, down_)
+    big = jnp.einsum("bgc,sc->bgs", r, bk,
+                     preferred_element_type=jnp.float32)
+    out = big[:, :groups, :2 * up]
+    for i in range(1, n_slabs):
+        out = out + big[:, i:i + groups, i * 2 * up:(i + 1) * 2 * up]
     # out: (2 input planes, groups, 2·up); complex product of x and bank
     o_re = out[0, :, :up] - out[1, :, up:]
     o_im = out[0, :, up:] + out[1, :, :up]

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from passiveradar_tpu.ops.mxufft import dft_matmul, fft_auto, ifft_auto, use_mxu
+
 
 def _pick_block(m: int) -> int:
     b = 1
@@ -44,7 +46,12 @@ def partial_ifft(x: jnp.ndarray, m_out: int, block: int | None = None):
     if rows * block != n:
         raise ValueError(f"{n} not divisible by block {block}")
     xr = x.reshape(x.shape[:-1] + (block, rows))   # [.., d, c] = x[d·rows + c]
-    y = jnp.fft.ifft(xr, axis=-2)[..., :m_out, :]  # IFFT over d
+    if use_mxu():
+        # only m_out of the block outputs are kept: a sliced DFT matmul does
+        # m_out/block of the work on the MXU instead of a full VPU FFT
+        y = dft_matmul(xr, axis=-2, inverse=True, out_len=m_out)
+    else:
+        y = ifft_auto(xr, axis=-2)[..., :m_out, :]  # IFFT over d
     j = np.arange(m_out)[:, None]
     c = np.arange(rows)[None, :]
     tw = jnp.asarray(np.exp(2j * np.pi * j * c / n).astype(np.complex64))
@@ -69,8 +76,13 @@ def sparse_fft(s: jnp.ndarray, n: int, block: int | None = None):
     c = np.arange(rows)[:, None]
     tw = jnp.asarray(np.exp(-2j * np.pi * j * c / n).astype(np.complex64))
     z = tw * s[..., None, :]                        # (.., rows, m)
-    z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, block - m)])
-    f = jnp.fft.fft(z, axis=-1)                     # (.., rows, block) over j
+    if use_mxu():
+        # m-sample support: the sliced DFT matmul reads only the m nonzero
+        # inputs (m/block of the full transform's work), no padding pass
+        f = dft_matmul(z, axis=-1, n=block)         # (.., rows, block) over j
+    else:
+        z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, block - m)])
+        f = fft_auto(z, axis=-1)                    # (.., rows, block) over j
     # F[d·rows + c] = f[c, d]
     out = jnp.swapaxes(f, -1, -2)                   # (.., block, rows)
     return out.reshape(s.shape[:-1] + (n,)).astype(jnp.complex64)

@@ -147,6 +147,32 @@ def test_ls_filter_multiple_matches_sequential_oracle(rng, solver):
     assert np.max(np.abs(got - cur)) < 5e-3 * np.max(np.abs(srv))
 
 
+@pytest.mark.parametrize("stretch", [0.9998442, 1.002, 1.024])
+def test_ls_filter_multiple_fractional_bins(rng, stretch):
+    """Chunk durations off integer seconds: bins land at fractional DFT bins.
+
+    stretch=0.9998442 mirrors the FM geometry (order-1 ramp expansion),
+    1.002 forces the order-2 path, 1.024 the exact per-bin-FFT fallback —
+    all three must match the float64 sequential oracle.
+    """
+    n, flen = 4096, 16
+    fs = n / stretch
+    bins = (0, 1, -1, 2, -2)
+    ref = _cnoise(rng, n)
+    srv = (np.roll(ref, 2) + 0.05 * _cnoise(rng, n)).astype(np.complex64)
+    got = np.asarray(ls_filter_multiple(ref, srv, flen, fs, bins))
+
+    cur = srv.astype(np.complex128)
+    t = np.arange(n) / fs
+    for dop in bins:
+        r = ref.astype(np.complex128)
+        if dop:
+            r = r * np.exp(1j * 2 * np.pi * dop * t)
+        cur, _ = toeplitz_oracle(r.astype(np.complex64),
+                                 cur.astype(np.complex64), flen)
+    assert np.max(np.abs(got - cur)) < 5e-3 * np.max(np.abs(srv))
+
+
 def test_ls_filter_direct_matches_roll_matrix_oracle(rng):
     n, flen, peek, reg = 512, 12, 4, 1.0
     ref = _cnoise(rng, n)
