@@ -2,9 +2,12 @@
 
 One of BASELINE.json's named metrics. Runs the reference FM geometry's NLMS
 (185+10 taps over 262144-sample CPIs, as NLMS_filter would be configured for
-the main pipeline) batched over 8 frames. FLOP count: each sample performs
-the wᴴu dot, the uᴴu energy, the error and the tap update — 16·M real
-multiply-adds ≈ 32·M FLOP per sample per frame.
+the main pipeline) batched over 64 frames — the kernel is per-sample
+dependency-latency-bound, so sublane batch rows are nearly free until the
+VPU issue rate saturates (measured 206/437/632/784 GFLOP/s at batch
+8/16/32/64; see docs/PERFORMANCE.md's roofline). FLOP count: each sample
+performs the wᴴu dot, the uᴴu energy, the error and the tap update — 16·M
+real multiply-adds ≈ 32·M FLOP per sample per frame.
 
 Prints one JSON line: {"metric": "nlms_gflops", ...}.
 """
@@ -25,7 +28,7 @@ def main():
 
     from passiveradar_tpu.ops.nlms_pallas import nlms_filter_pallas
 
-    b, n = 32, 262144
+    b, n = 64, 262144
     filter_len, peek, mu = 175, 10, 0.05
     m = filter_len + peek
 

@@ -37,6 +37,7 @@ def _cfar_core(x: jnp.ndarray, fw: int, gw: int) -> jnp.ndarray:
     background = lax.conv_general_dilated(
         xp[:, None], rhs, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,   # TPU default bf16-rounds f32 convs
         preferred_element_type=jnp.float32)[:, 0]
     norm = x / jnp.mean(jnp.abs(x), axis=(1, 2), keepdims=True)
     return norm / (background + 1e-10)

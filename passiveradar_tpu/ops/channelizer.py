@@ -51,8 +51,9 @@ def _channelize(x, proto, n_channels: int, taps_per_branch: int):
     # stack shifted copies and contract on the MXU
     shifts = [jnp.pad(xb, ((i, 0), (0, 0)))[:m_out] for i in range(t)]
     stack = jnp.stack(shifts, axis=1)               # [m, t', p]
-    yb = jnp.einsum("mtp,tp->mp", stack,
-                    hb.astype(jnp.float32))          # complex × real
+    yb = jnp.einsum("mtp,tp->mp", stack, hb.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)  # complex × real;
+    # HIGHEST: TPU default bf16-rounds f32 matmul inputs (~3e-3 error)
 
     # channel k (centred at +k·fs/K): Σ_p e^{-j2πkp/K} y_branch[m, p]
     return jnp.fft.fft(yb, axis=1).astype(jnp.complex64)

@@ -108,7 +108,11 @@ def _upfirdn_matmul(planes: jnp.ndarray, h_key, up: int, down: int) -> jnp.ndarr
     out = None
     for i in range(n_slabs):
         slab = jnp.asarray(bank_pad[:, i * down:(i + 1) * down])
+        # HIGHEST: TPU default rounds f32 matmul inputs to bf16 (~3e-3 error
+        # on the resampled signal, measured); the stage is memory-bound so
+        # full-precision passes cost nothing
         part = jnp.einsum("bgc,pc->bgp", r[:, i:i + groups], slab,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
         out = part if out is None else out + part
     return out.reshape(planes.shape[0], groups * up)[:, :n_out]
@@ -335,7 +339,10 @@ def _mix_resample_jit(x, phase, h_key, up, down, c, mode, n_pre_remove,
     # the slab sum then becomes cheap shifted row-block adds.
     bk = jnp.asarray(st["bank_ri"]).reshape(2 * up, n_slabs, down_)
     bk = bk.transpose(1, 0, 2).reshape(n_slabs * 2 * up, down_)
+    # HIGHEST: see _upfirdn_matmul — bf16-rounded taps cost ~3e-3 accuracy
+    # for no speed gain on this memory-bound stage
     big = jnp.einsum("bgc,sc->bgs", r, bk,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     out = big[:, :groups, :2 * up]
     for i in range(1, n_slabs):
