@@ -100,8 +100,23 @@ def main():
                              output_fname=os.path.join(DATA_DIR, "e2e_out")))
     _ensure_capture(cfg)
 
-    # warm the compile cache outside the timed window (one tiny batch-shaped
-    # program compile; the timed run then measures steady-state throughput)
+    # warm the compile outside the timed window: run_capture dispatches ONE
+    # fixed-shape program (frame_batch+2 frames), so a single zero-buffer
+    # call compiles it; the timed run then measures steady-state throughput
+    import jax.numpy as jnp
+    import numpy as np
+
+    from passiveradar_tpu.ops.util import to_host_complex
+    from passiveradar_tpu.pipeline import process_frames
+
+    t0 = time.time()
+    lc = cfg.input_chunk_length // 2
+    z = jnp.zeros((cfg.frame_batch + 2, lc, 2), jnp.float32)
+    to_host_complex(process_frames(z, z, jnp.zeros(cfg.frame_batch + 2,
+                                                   jnp.float32), cfg))
+    print(f"# pipeline compile/warm: {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
     if os.path.exists(OUT):
         os.remove(OUT)
     reader = CaptureReader(cfg, estimate_offset=True)
