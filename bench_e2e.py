@@ -29,7 +29,8 @@ from bench_util import child_or_retry
 FRAMES = 48
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".bench_data")
-CAPTURE = os.path.join(DATA_DIR, f"fm_capture_{FRAMES}.hdf5")
+CAPTURE = os.path.join(DATA_DIR, f"fm_capture_{FRAMES}_i16.hdf5")
+I16_SCALE = 1.0 / 20000.0   # capture quantization: counts -> amplitude
 OUT = os.path.join(DATA_DIR, "e2e_out.hdf5")
 
 PARAMS = dict(
@@ -42,6 +43,7 @@ PARAMS = dict(
     max_range_nominal=200.0,
     overlap_cpi=True,
     num_frames=FRAMES,
+    int16_scale=I16_SCALE,
     range_doppler_map_ftype="hdf5",
     input_ref_path="/data/ref",
     input_srv_path="/data/srv",
@@ -49,11 +51,21 @@ PARAMS = dict(
 
 
 def _ensure_capture(cfg):
-    """Synthesise the capture on device, stream it to HDF5 once."""
+    """Synthesise the capture on device, stream it to HDF5 once.
+
+    Stored as int16 counts — the native SDR recording format (and half the
+    bytes of float32 both on disk and over the host->device transfer; the
+    pipeline converts on device, see pipeline.preprocess_batch).
+    """
     import h5py
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from passiveradar_tpu.io.synthetic import Target, synth_capture_device
+
+    quant = jax.jit(lambda x: jnp.clip(
+        jnp.round(x / I16_SCALE), -32767, 32767).astype(jnp.int16))
 
     if os.path.exists(CAPTURE):
         with h5py.File(CAPTURE, "r") as f:
@@ -66,16 +78,16 @@ def _ensure_capture(cfg):
     with h5py.File(CAPTURE + ".tmp", "w") as f:
         dref = f.create_dataset(
             "/data/ref", shape=(FRAMES * cfg.input_chunk_length,),
-            dtype=np.float32)
+            dtype=np.int16)
         dsrv = f.create_dataset(
             "/data/srv", shape=(FRAMES * cfg.input_chunk_length,),
-            dtype=np.float32)
+            dtype=np.int16)
         for s in range(0, FRAMES, step):
             ref, srv = synth_capture_device(
                 cfg, step, seed=s,
                 targets=(Target(200, 40.0, 0.05), Target(500, -80.0, 0.03)))
-            r = np.asarray(ref).reshape(-1)
-            v = np.asarray(srv).reshape(-1)
+            r = np.asarray(quant(ref)).reshape(-1)
+            v = np.asarray(quant(srv)).reshape(-1)
             a = s * cfg.input_chunk_length
             dref[a:a + len(r)] = r
             dsrv[a:a + len(v)] = v
@@ -100,26 +112,26 @@ def main():
                              output_fname=os.path.join(DATA_DIR, "e2e_out")))
     _ensure_capture(cfg)
 
+    if os.path.exists(OUT):
+        os.remove(OUT)
+    reader = CaptureReader(cfg, estimate_offset=True)
+
     # warm the compile outside the timed window: run_capture dispatches ONE
-    # fixed-shape program (frame_batch+2 frames), so a single zero-buffer
-    # call compiles it; the timed run then measures steady-state throughput
+    # fixed-shape program (frame_batch+2 frames of the reader's dispatch
+    # dtype — raw int16 here), so a single zero-buffer call compiles it; the
+    # timed run then measures steady-state throughput
     import jax.numpy as jnp
-    import numpy as np
 
     from passiveradar_tpu.ops.util import to_host_complex
     from passiveradar_tpu.pipeline import process_frames
 
     t0 = time.time()
     lc = cfg.input_chunk_length // 2
-    z = jnp.zeros((cfg.frame_batch + 2, lc, 2), jnp.float32)
+    z = jnp.zeros((cfg.frame_batch + 2, lc, 2), reader.pair_dtype)
     to_host_complex(process_frames(z, z, jnp.zeros(cfg.frame_batch + 2,
                                                    jnp.float32), cfg))
-    print(f"# pipeline compile/warm: {time.time() - t0:.0f}s",
+    print(f"# pipeline compile/warm ({z.dtype}): {time.time() - t0:.0f}s",
           file=sys.stderr)
-
-    if os.path.exists(OUT):
-        os.remove(OUT)
-    reader = CaptureReader(cfg, estimate_offset=True)
     writer = MapWriter(cfg, num_frames=min(reader.num_frames, cfg.num_frames),
                        path=OUT)
     t0 = time.time()

@@ -82,6 +82,10 @@ class RadarConfig:
     caf_short_filt: bool = True          # boxcar vs flattop Doppler decimator
     frame_batch: int = 8      # frames processed per device dispatch
     max_measurements: int = 384  # fixed-shape candidate-measurement budget
+    # int16 captures (the native SDR recording format) are shipped to the
+    # device raw — half the host->device bytes — and converted to float32
+    # on device as x * int16_scale (see io/hdf5.py + pipeline.py)
+    int16_scale: float = 1.0
 
     # ---- derived (filled by derive_config) --------------------------------------
     cpi_samples: int = 0
@@ -132,7 +136,7 @@ _RAW_KEYS = {
     "channel_freq", "channel_bandwidth", "cpi_seconds_nominal",
     "max_doppler_nominal", "max_range_nominal", "overlap_cpi",
     "clutter_doppler_bins", "clutter_method", "nlms_mu", "caf_window",
-    "caf_short_filt", "frame_batch", "max_measurements",
+    "caf_short_filt", "frame_batch", "max_measurements", "int16_scale",
     "wideband_channels", "wideband_channel_select", "wideband_taps_per_branch",
 }
 

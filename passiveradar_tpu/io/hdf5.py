@@ -34,10 +34,11 @@ from passiveradar_tpu.ops.xcorr import find_channel_offset
 class CaptureReader:
     def __init__(self, cfg: RadarConfig, path: str | None = None,
                  estimate_offset: bool = True, max_offset_lags: int = 5_000_000,
-                 int16_scale: float = 1.0):
+                 int16_scale: float | None = None):
         self.cfg = cfg
         self.path = path or cfg.input_file
-        self.int16_scale = int16_scale
+        self.int16_scale = (getattr(cfg, "int16_scale", 1.0)
+                            if int16_scale is None else int16_scale)
         self._file = h5py.File(self.path, "r")
         self.interleaved = bool(cfg.interleaved_input_channels)
         if self.interleaved:
@@ -45,6 +46,10 @@ class CaptureReader:
         else:
             self._ref = self._file[cfg.input_ref_path]
             self._srv = self._file[cfg.input_srv_path]
+        # separate-channel int16 captures ship raw int16 to the device and
+        # convert there (pipeline.preprocess_batch): half the H2D bytes
+        self._ships_int16 = (not self.interleaved
+                             and self._ref.dtype == np.int16)
         self.offset = 0
         if estimate_offset:
             self.offset = self._estimate_offset(max_offset_lags)
@@ -130,6 +135,32 @@ class CaptureReader:
         return (ref.reshape(count, self.frame_len),
                 srv.reshape(count, self.frame_len))
 
+    @property
+    def pair_dtype(self):
+        """dtype of read_pair_frames: int16 when the capture ships raw."""
+        return np.int16 if self._ships_int16 else np.float32
+
+    def read_pair_frames(self, start: int, count: int):
+        """(count, frame_len_c, 2) IQ pairs in ``pair_dtype``.
+
+        The device-dispatch format: float32 pairs normally; raw int16 pairs
+        for separate-channel int16 captures (converted on device by
+        pipeline.preprocess_batch — bit-identical to the host i16_to_f32
+        path). Interleaved int16 captures keep the host demux path.
+        """
+        if not self._ships_int16:
+            ref, srv = self.read_raw_frames(start, count)
+            return (ref.reshape(count, self.frame_len_c, 2),
+                    srv.reshape(count, self.frame_len_c, 2))
+        s_c = (self._first_frame + start) * self.frame_len_c
+        e_c = s_c + count * self.frame_len_c
+        ref = np.asarray(
+            self._ref[2 * (s_c + self._ref_off):2 * (e_c + self._ref_off)])
+        srv = np.asarray(
+            self._srv[2 * (s_c + self._srv_off):2 * (e_c + self._srv_off)])
+        return (ref.reshape(count, self.frame_len_c, 2),
+                srv.reshape(count, self.frame_len_c, 2))
+
     def read_iq_frames(self, start: int, count: int):
         """(count, input_chunk_length//2) complex64 per channel.
 
@@ -165,8 +196,9 @@ class PrefetchReader:
         self.num_frames = reader.num_frames
         self._q: queue.Queue = queue.Queue(maxsize=2)
         self._batches = list(batches)
-        self._read = (reader.read_iq_frames if mode == "iq"
-                      else reader.read_raw_frames)
+        self._read = {"iq": reader.read_iq_frames,
+                      "pair": getattr(reader, "read_pair_frames", None),
+                      "raw": reader.read_raw_frames}[mode]
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 

@@ -52,6 +52,11 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
     block_phase_offsets. Returns (F, output_chunk_length) complex64 at the
     IF rate.
     """
+    if raw.dtype == jnp.int16:
+        # raw int16 SDR samples shipped as-is (half the transfer bytes);
+        # exact: every int16 value is representable in float32, so this
+        # matches the host-side io.native.i16_to_f32 path bit-for-bit
+        raw = raw.astype(jnp.float32) * jnp.float32(cfg.int16_scale)
     if jnp.iscomplexobj(raw) or raw.ndim == 3:
         # complex frames or (F, L//2, 2) float32 IQ pairs — the latter is the
         # host↔device transfer format (some remote backends cannot transfer
@@ -188,8 +193,13 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     # background thread keeps the next batch's disk read in flight while the
     # device processes the current one (the reference's implicit dask
     # pipeline interleaving, made explicit)
+    # pair mode ships the reader's native dispatch dtype (raw int16 for
+    # int16 captures — half the H2D bytes, converted on device); readers
+    # without it (test doubles) fall back to complex-view iq reads
+    pair_mode = hasattr(reader, "read_pair_frames")
+    pdt = getattr(reader, "pair_dtype", np.float32) if pair_mode else np.float32
     prefetch = PrefetchReader(reader, [(lo, hi - lo) for _, _, lo, hi in batches],
-                              mode="iq")
+                              mode="pair" if pair_mode else "iq")
 
     lc = cfg.input_chunk_length // 2
     # dispatch buffer: bf+2 frames, rounded up to the device count so the
@@ -203,15 +213,19 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
             batches, prefetch):
         # place the read frames into the fixed buffer at the offset that
         # aligns frame `start` with buffer slot 1
-        buf_ref = np.zeros((buf_n, lc, 2), np.float32)
-        buf_srv = np.zeros((buf_n, lc, 2), np.float32)
+        buf_ref = np.zeros((buf_n, lc, 2), pdt)
+        buf_srv = np.zeros((buf_n, lc, 2), pdt)
         phases = np.zeros(buf_n, np.float32)
         slot0 = 1 - (start - lo)
         nread = hi - lo
-        buf_ref[slot0:slot0 + nread] = ref_raw.view(np.float32).reshape(
-            nread, lc, 2)
-        buf_srv[slot0:slot0 + nread] = srv_raw.view(np.float32).reshape(
-            nread, lc, 2)
+        if pair_mode:
+            buf_ref[slot0:slot0 + nread] = ref_raw
+            buf_srv[slot0:slot0 + nread] = srv_raw
+        else:
+            buf_ref[slot0:slot0 + nread] = ref_raw.view(np.float32).reshape(
+                nread, lc, 2)
+            buf_srv[slot0:slot0 + nread] = srv_raw.view(np.float32).reshape(
+                nread, lc, 2)
         phases[slot0:slot0 + nread] = frame_phases(
             cfg, list(range(frame0 + lo, frame0 + hi)))
 

@@ -338,3 +338,47 @@ def test_caf_flattop_mode_in_pipeline(tiny_cfg):
     r, c = np.unravel_index(np.argmax(maps[1]), maps[1].shape)
     delay_if = tgt.delay_samples * cfg.resamp_up / cfg.resamp_dn
     assert abs(c - (cfg.num_range_cells - round(delay_if))) <= 1
+
+
+def test_int16_capture_ships_raw_and_matches_float32(tiny_cfg, tmp_path):
+    """int16 captures dispatch raw int16 to the device (half the H2D bytes)
+    and the on-device convert matches the float32 path bit-for-bit."""
+    cfg = derive_config(dict(TINY, int16_scale=1.0 / 32768.0))
+    n_frames = 5
+    p16 = str(tmp_path / "cap16.hdf5")
+    write_synth_capture(p16, cfg, n_frames, dtype=np.int16,
+                        targets=(Target(40, 20.0, 0.1),))
+
+    # float32 twin: the same int16 samples host-converted with the same scale
+    import h5py
+    with h5py.File(p16) as f:
+        r16 = np.asarray(f[cfg.input_ref_path])
+        s16 = np.asarray(f[cfg.input_srv_path])
+    p32 = str(tmp_path / "cap32.hdf5")
+    with h5py.File(p32, "w") as f:
+        f.create_dataset(cfg.input_ref_path,
+                         data=r16.astype(np.float32) * cfg.int16_scale)
+        f.create_dataset(cfg.input_srv_path,
+                         data=s16.astype(np.float32) * cfg.int16_scale)
+
+    reader16 = CaptureReader(cfg, p16, estimate_offset=False)
+    assert reader16.pair_dtype == np.int16
+    pr, _ = reader16.read_pair_frames(0, 2)
+    assert pr.dtype == np.int16 and pr.shape == (2, reader16.frame_len_c, 2)
+
+    nt = min(reader16.num_frames, cfg.num_frames)
+    w16 = MapWriter(cfg, nt, str(tmp_path / "m16.hdf5"))
+    run_capture(reader16, w16, cfg, batch_frames=3, progress=False)
+    w16.close()
+    reader32 = CaptureReader(cfg, p32, estimate_offset=False)
+    assert reader32.pair_dtype == np.float32
+    w32 = MapWriter(cfg, nt, str(tmp_path / "m32.hdf5"))
+    run_capture(reader32, w32, cfg, batch_frames=3, progress=False)
+    w32.close()
+    reader16.close()
+    reader32.close()
+
+    m16 = load_maps(cfg, str(tmp_path / "m16.hdf5"))
+    m32 = load_maps(cfg, str(tmp_path / "m32.hdf5"))
+    scale = np.max(np.abs(m32))
+    assert np.max(np.abs(m16 - m32)) <= 1e-6 * scale
