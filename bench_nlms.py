@@ -2,10 +2,11 @@
 
 One of BASELINE.json's named metrics. Runs the reference FM geometry's NLMS
 (185+10 taps over 262144-sample CPIs, as NLMS_filter would be configured for
-the main pipeline) batched over 64 frames — the kernel is per-sample
+the main pipeline) batched over 128 frames at block=1024 (the block size
+that fits 128 rows in VMEM) — the kernel is per-sample
 dependency-latency-bound, so sublane batch rows are nearly free until the
-VPU issue rate saturates (measured 206/437/632/784 GFLOP/s at batch
-8/16/32/64; see docs/PERFORMANCE.md's roofline). FLOP count: each sample
+VPU issue rate saturates (measured 206/437/632/784/907 GFLOP/s at batch
+8/16/32/64/128; see docs/PERFORMANCE.md's roofline). FLOP count: each sample
 performs the wᴴu dot, the uᴴu energy, the error and the tap update — 16·M
 real multiply-adds ≈ 32·M FLOP per sample per frame.
 
@@ -28,7 +29,7 @@ def main():
 
     from passiveradar_tpu.ops.nlms_pallas import nlms_filter_pallas
 
-    b, n = 64, 262144
+    b, n = 128, 262144
     filter_len, peek, mu = 175, 10, 0.05
     m = filter_len + peek
 
@@ -40,7 +41,8 @@ def main():
 
     summ = jax.jit(lambda x, a: a + jnp.sum(jnp.abs(x)))
     t0 = time.time()
-    out = nlms_filter_pallas(ref, srv, filter_len, mu, peek=peek)
+    out = nlms_filter_pallas(ref, srv, filter_len, mu, peek=peek,
+                             block=1024)
     float(summ(out, jnp.float32(0.0)))
     compile_s = time.time() - t0
 
@@ -50,7 +52,7 @@ def main():
     for i in range(reps):
         out = nlms_filter_pallas(ref if i % 2 else srv,
                                  srv if i % 2 else ref, filter_len, mu,
-                                 peek=peek)
+                                 peek=peek, block=1024)
         acc = summ(out, acc)
     float(acc)
     dt = (time.time() - t0) / reps
