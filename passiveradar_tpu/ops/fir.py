@@ -369,6 +369,86 @@ def _mix_resample_jit(x, phase, h_key, up, down, c, mode, n_pre_remove,
         jnp.complex64)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("h_key", "up", "down", "c", "mode",
+                                    "n_pre_remove", "n_out"))
+def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
+                            n_pre_remove, n_out):
+    """Batched fused mix+resample with the Pallas regroup+matmul bulk.
+
+    Same math as _mix_resample_jit (per frame), but all frames' re/im
+    planes ride as rows of ONE kernel call — the (·, down) lane regroup
+    happens in VMEM (ops/resample_pallas.py) instead of as an XLA relayout.
+    """
+    from passiveradar_tpu.ops.resample_pallas import regroup_matmul
+
+    if jnp.iscomplexobj(x):
+        planes = jnp.stack([jnp.real(x), jnp.imag(x)], axis=1)
+    else:
+        planes = x.transpose(0, 2, 1).astype(jnp.float32)     # (F, 2, n)
+    f, _, n_in = planes.shape
+    st = _mix_resample_static(h_key, up, down, c, n_in, mode)
+    groups = st["groups"]
+    pad_lraw = st["pad_l"] + st["ext"]
+    rows = planes.reshape(f * 2, n_in)
+    xp = jnp.pad(rows, ((0, 0), (pad_lraw, 0)))   # kernel zero-pads the right
+    out = regroup_matmul(xp, jnp.asarray(st["bank_ri"]), down, groups)
+    o_re = out[0::2, :, :up] - out[1::2, :, up:2 * up]
+    o_im = out[0::2, :, up:2 * up] + out[1::2, :, :up]
+    bulk = jax.lax.complex(o_re, o_im) * jnp.asarray(st["fg"])[None, :, None]
+    if st["corr"] is not None:
+        gl, g_r0, c1l, c2l, c1r, c2r = st["corr"]
+        m0 = jax.lax.complex(planes[:, 0, 0], planes[:, 1, 0])[:, None, None]
+        mn = jax.lax.complex(planes[:, 0, -1], planes[:, 1, -1])[:, None, None]
+        if gl:
+            bulk = bulk.at[:, :gl].add(jnp.asarray(c1l)[None] * m0
+                                       + jnp.asarray(c2l)[None] * mn)
+        if g_r0 < groups:
+            bulk = bulk.at[:, g_r0:].add(jnp.asarray(c1r)[None] * m0
+                                         + jnp.asarray(c2r)[None] * mn)
+    flat = bulk.reshape(f, groups * up)
+    lo = st["shift"] + n_pre_remove
+    y = flat[:, lo:lo + n_out]
+    ph = jnp.asarray(phases, jnp.float32)[:, None]
+    return (y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))).astype(
+        jnp.complex64)
+
+
+def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
+                            up: int, down: int, window=("kaiser", 5.0),
+                            padtype: str = "constant") -> jnp.ndarray:
+    """Fused mix+resample over a frame batch; Pallas bulk when supported.
+
+    x: (F, n) complex64 or (F, n, 2) float32 IQ pairs; phases: (F,).
+    Result matches jax.vmap(mix_resample_poly) frame-for-frame; on TPU
+    backends the polyphase regroup+matmul runs as one Pallas kernel over
+    all frames' re/im planes (see ops/resample_pallas.py). Falls back to
+    the vmapped einsum path when the kernel does not support the geometry.
+    """
+    from passiveradar_tpu.ops import resample_pallas
+
+    g = math.gcd(int(up), int(down))
+    upr, downr = int(up) // g, int(down) // g
+    supported = False
+    if resample_pallas.use_pallas_resample() and not (
+            upr == 1 and downr == 1):
+        n_in = x.shape[1]
+        h_pad, n_pre_remove, n_out = _resample_design(n_in, upr, downr,
+                                                      window)
+        h_key = _tap_key(h_pad)
+        c = float(fc) / float(fs)
+        st = _mix_resample_static(h_key, upr, downr, c, n_in, padtype)
+        supported = (st["bank_ri"].shape[1]
+                     <= resample_pallas.MAX_KW * 128
+                     and 2 * upr <= 128)
+    if supported:
+        return _mix_resample_batch_jit(x, phases, h_key, upr, downr, c,
+                                       padtype, n_pre_remove, n_out)
+    return jax.vmap(
+        lambda v, p: mix_resample_poly(v, fc, fs, p, up, down, window,
+                                       padtype))(x, phases)
+
+
 def mix_resample_poly(x: jnp.ndarray, fc: float, fs: float, phase,
                       up: int, down: int, window=("kaiser", 5.0),
                       padtype: str = "constant") -> jnp.ndarray:

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel for the polyphase regroup+matmul of the mix-resampler.
+
+The XLA formulation (ops/fir.py:_mix_resample_jit) evaluates the fused
+mixer+polyphase resample (reference semantics: signal_utils.py:15-17 +
+frequency_shift at main.py:122-166) as a phase-grouped matmul whose operand
+is ``xp.reshape(rows, groups, down)``. With ``down`` = 119 that regroup is
+an unaligned lane restructuring: XLA lowers it as a relayout that moves the
+whole IQ stream through HBM at a fraction of bandwidth — measured as the
+dominant cost of the preprocess stage (several ms per 8-frame batch vs a
+~0.2 ms bandwidth bound).
+
+This kernel performs the regroup inside VMEM instead. Key alignment fact:
+128 consecutive polyphase groups span exactly ``128*down`` input lanes, a
+multiple of 128 — so a grid step over 128-group blocks reads lane-aligned
+input blocks, and within a block every group's window offset ``g*down`` has
+a *static* tile index and roll amount. The kernel therefore:
+
+  * copies the step's input block plus a 4-tile lookahead into VMEM,
+  * for each of the 128 groups (unrolled; all offsets static): slices the
+    4-tile window neighbourhood, left-rotates it by ``(g*down) % 128``
+    (static ``pltpu.roll``), and writes the three aligned 128-lane window
+    chunks into the W matrices,
+  * contracts W with the full-width tap bank on the MXU
+    (``out[g, s] = sum_c x[g*down + c] * bank[s, c]``, bank width padded to
+    3*128 >= W).
+
+The mixer's oscillator is already folded into the (complex) bank by
+``ops.fir._mix_resample_static``; re/im input planes ride as matmul rows,
+so one kernel call handles a whole frame batch. Output is bit-equivalent to
+the einsum path (same f32 HIGHEST contractions, same summation order per
+output up to matmul tiling).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# groups per grid step; their input span (GROUPS_STEP * down lanes) must be
+# a multiple of 128, which holds for any down when GROUPS_STEP == 128
+GROUPS_STEP = 128
+# max bank width the kernel supports: window chunks per group
+MAX_KW = 3
+
+
+def use_pallas_resample() -> bool:
+    """Route the resampler bulk through the Pallas kernel? (trace-time).
+
+    Default: single-device TPU only. Under a multi-device mesh the frame
+    axis is sharded and XLA's SPMD partitioner does not split custom
+    (Mosaic) calls along it, so sharded programs keep the einsum path —
+    same math, automatically partitionable.
+    """
+    env = os.environ.get("PASSIVERADAR_PALLAS_RESAMPLE")
+    if env is not None:
+        return env not in ("0", "", "false")
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def _kernel(xa, xb, bkt, out, buf, w0, w1, w2, *, rows: int, down: int,
+            kw: int):
+    c_len = GROUPS_STEP * down
+    look = (kw + 1) * 128
+
+    buf[:, :c_len] = xa[:]
+    buf[:, c_len:] = xb[:, :look]
+
+    ws = (w0, w1, w2)
+    for g in range(GROUPS_STEP):
+        t = (g * down) // 128
+        j = (g * down) % 128
+        seg = buf[:, t * 128:t * 128 + look]          # (rows, (kw+1)*128)
+        if j:
+            seg = pltpu.roll(seg, look - j, axis=1)   # left-rotate by j
+        for k in range(kw):
+            ws[k][g * rows:(g + 1) * rows, :] = seg[:, k * 128:(k + 1) * 128]
+
+    acc = jnp.dot(w0[:], bkt[0:128, :],
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    for k in range(1, kw):
+        acc = acc + jnp.dot(ws[k][:], bkt[k * 128:(k + 1) * 128, :],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    out[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("down", "groups", "interpret"))
+def regroup_matmul(planes: jnp.ndarray, bank: jnp.ndarray, down: int,
+                   groups: int, interpret: bool | None = None) -> jnp.ndarray:
+    """out[r, g, s] = sum_c planes[r, g*down + c] * bank[s, c].
+
+    planes: (rows, n) float32, n >= groups*down + bank width. bank:
+    (S, W) float32, W <= MAX_KW*128, S <= 128. Returns (rows, groups, S32)
+    float32 with S32 = S padded up to a multiple of 32 lanes (callers slice
+    [..., :S]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    rows, n = planes.shape
+    # VMEM budget: the W scratches grow with rows (GROUPS_STEP*rows rows of
+    # 128 lanes, x3) — 16 rows per call fits comfortably; larger batches
+    # split into row chunks (outputs concatenate along the row axis)
+    if rows > 16:
+        parts = [regroup_matmul(planes[r:r + 16], bank, down, groups,
+                                interpret=interpret)
+                 for r in range(0, rows, 16)]
+        return jnp.concatenate(parts, axis=0)
+    s_dim, w = bank.shape
+    kw = -(-w // 128)
+    if kw > MAX_KW:
+        raise ValueError(f"bank width {w} > {MAX_KW * 128}")
+    s32 = -(-s_dim // 32) * 32
+    bkt = jnp.zeros((MAX_KW * 128, s32), jnp.float32)
+    bkt = bkt.at[:w, :s_dim].set(bank.T.astype(jnp.float32))
+
+    rows8 = -(-rows // 8) * 8
+    steps = -(-groups // GROUPS_STEP)
+    c_len = GROUPS_STEP * down
+    look = (kw + 1) * 128
+    need = (steps + 1) * c_len
+    xp = jnp.zeros((rows8, need), jnp.float32)
+    xp = xp.at[:rows, :n].set(planes)
+
+    kern = functools.partial(_kernel, rows=rows8, down=down, kw=kw)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((rows8, c_len), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows8, c_len), lambda i: (0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAX_KW * 128, s32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, GROUPS_STEP * rows8, s32),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps, GROUPS_STEP * rows8, s32),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows8, c_len + look), jnp.float32),
+            pltpu.VMEM((GROUPS_STEP * rows8, 128), jnp.float32),
+            pltpu.VMEM((GROUPS_STEP * rows8, 128), jnp.float32),
+            pltpu.VMEM((GROUPS_STEP * rows8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, xp, bkt)
+
+    # rows within a step are group-major: out[step, g*rows8 + r, s]
+    out = out.reshape(steps * GROUPS_STEP, rows8, s32)
+    out = out.transpose(1, 0, 2)[:rows, :groups]
+    return out

@@ -28,7 +28,7 @@ import numpy as np
 from passiveradar_tpu.config import RadarConfig
 from passiveradar_tpu.ops.caf import fast_xambg, resolve_window
 from passiveradar_tpu.ops.clutter import ls_filter_multiple
-from passiveradar_tpu.ops.fir import mix_resample_poly
+from passiveradar_tpu.ops.fir import mix_resample_poly_batch
 from passiveradar_tpu.ops.mixer import block_phase_offsets
 from passiveradar_tpu.ops.util import to_host_complex
 from passiveradar_tpu.parallel.halo import overlap_frames
@@ -66,12 +66,12 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
         iq = _deinterleave_batch(raw)
     # fused mixer+resampler: the oscillator folds into the static polyphase
     # bank, so the mixed signal is never materialised (reference applies the
-    # two stages separately: main.py:122-166)
-    resampled = jax.vmap(
-        lambda v, p: mix_resample_poly(v, cfg.offset_freq,
-                                       cfg.input_sample_rate, p,
-                                       cfg.resamp_up, cfg.resamp_dn,
-                                       padtype="line"))(iq, phases)
+    # two stages separately: main.py:122-166); on TPU the polyphase regroup
+    # runs as a Pallas kernel over the whole batch (ops/resample_pallas.py)
+    resampled = mix_resample_poly_batch(iq, phases, cfg.offset_freq,
+                                        cfg.input_sample_rate,
+                                        cfg.resamp_up, cfg.resamp_dn,
+                                        padtype="line")
     # per-chunk resample output may be ±1 sample off output_chunk_length
     # (the reference papers over this with dask chunk bookkeeping and a
     # zero-pad guard in fast_xambg); we frame exactly.

@@ -1,5 +1,6 @@
 """FIR/resampling kernels vs scipy oracles."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy import signal as sps
@@ -119,3 +120,27 @@ def test_decimate_with_explicit_taps(rng):
     want = sps.decimate(x, q, ftype=sps.dlti(taps, 1))
     assert got.shape == want.shape
     assert _rel(got, want) < 1e-5
+
+
+def test_mix_resample_batch_pallas_matches_vmap(rng, monkeypatch):
+    """The Pallas regroup+matmul batch path (interpret mode on CPU) must
+    match the vmapped einsum path frame-for-frame at the FM ratio."""
+    from passiveradar_tpu.ops.fir import mix_resample_poly_batch
+
+    up, down = 13, 119
+    n_in, frames = 119 * 160, 3
+    fc, fs = 100_000.0, 2_400_000.0
+    x = (rng.standard_normal((frames, n_in, 2))).astype(np.float32)
+    phases = rng.standard_normal(frames).astype(np.float32)
+
+    want = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), fc, fs, up, down,
+        padtype="line"))
+
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_RESAMPLE", "1")
+    got = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), fc, fs, up, down,
+        padtype="line"))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) < 2e-6 * scale
