@@ -47,9 +47,15 @@ class CaptureReader:
             self._ref = self._file[cfg.input_ref_path]
             self._srv = self._file[cfg.input_srv_path]
         # separate-channel int16 captures ship raw int16 to the device and
-        # convert there (pipeline.preprocess_batch): half the H2D bytes
+        # convert there (pipeline.preprocess_batch): half the H2D bytes.
+        # The device conversion multiplies by cfg.int16_scale, so raw
+        # shipping is only valid when this reader's scale agrees with it —
+        # an explicitly different constructor scale falls back to host
+        # conversion (float32 dispatch) to keep all read paths consistent.
         self._ships_int16 = (not self.interleaved
-                             and self._ref.dtype == np.int16)
+                             and self._ref.dtype == np.int16
+                             and self.int16_scale == getattr(
+                                 cfg, "int16_scale", 1.0))
         self.offset = 0
         if estimate_offset:
             self.offset = self._estimate_offset(max_offset_lags)

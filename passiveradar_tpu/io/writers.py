@@ -125,7 +125,6 @@ def concat_parts(part_paths, out_path: str, ftype: str = "hdf5") -> int:
                 src = f["/xambg"]
                 n = src.shape[2]
                 if dst is None:
-                    total = n  # grown below; maxshape allows extension
                     dst = out.create_dataset(
                         "/xambg", shape=src.shape[:2] + (n,),
                         maxshape=src.shape[:2] + (None,),

@@ -176,28 +176,8 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
     up, down = int(up) // g, int(down) // g
     if up == 1 and down == 1:
         return jnp.asarray(x)
-    n_in = x.shape[0]
-    n_out = n_in * up // down + bool((n_in * up) % down)
-
-    if isinstance(window, np.ndarray):
-        h = np.array(window, dtype=np.float64)
-        half_len = (len(h) - 1) // 2
-    else:
-        max_rate = max(up, down)
-        half_len = 10 * max_rate
-        h = design_lowpass(2 * half_len + 1, 1.0 / max_rate, window)
-    h = h * up
-
-    # Zero-pad the taps so output samples land at the centre of the filter
-    # (same alignment arithmetic as scipy.signal.resample_poly).
-    n_pre_pad = down - half_len % down
-    n_post_pad = 0
-    n_pre_remove = (half_len + n_pre_pad) // down
-    while _upfirdn_output_len(len(h) + n_pre_pad + n_post_pad, n_in,
-                              up, down) < n_out + n_pre_remove:
-        n_post_pad += 1
-    h_pad = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
-
+    h_pad, n_pre_remove, n_out = _resample_design(x.shape[0], up, down,
+                                                  window)
     y = upfirdn(h_pad, x, up, down, mode=padtype)
     return y[n_pre_remove:n_pre_remove + n_out]
 
@@ -438,9 +418,11 @@ def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
         h_key = _tap_key(h_pad)
         c = float(fc) / float(fs)
         st = _mix_resample_static(h_key, upr, downr, c, n_in, padtype)
-        supported = (st["bank_ri"].shape[1]
-                     <= resample_pallas.MAX_KW * 128
-                     and 2 * upr <= 128)
+        kw = -(-st["bank_ri"].shape[1] // 128)
+        # kernel constraints: bank width, s-dim, and the lookahead slice
+        # (kw+1 lane-tiles) must fit inside one grid block (128*down lanes)
+        supported = (kw <= resample_pallas.MAX_KW and 2 * upr <= 128
+                     and (kw + 1) * 128 <= resample_pallas.GROUPS_STEP * downr)
     if supported:
         return _mix_resample_batch_jit(x, phases, h_key, upr, downr, c,
                                        padtype, n_pre_remove, n_out)

@@ -14,10 +14,12 @@ roughly 10-100x the arithmetic, but it runs at MXU speed (tens of TFLOP/s at
 Precision.HIGHEST) instead of VPU speed, a net ~4-10x wall-clock win for the
 transform sizes this pipeline uses (256..2^20, heavily batched).
 
-All matmuls run on float32 re/im planes with ``Precision.HIGHEST`` (bf16x6
-passes on TPU — float32-equivalent accumulation); twiddle factors are
-computed host-side in float64. Verified exact against jnp.fft to float32
-round-off in tests/test_mxufft.py.
+All matmuls run on float32 re/im planes at ``PRECISION`` (default
+``Precision.HIGH``, bf16x3 passes — for DFT sums this measured
+f32-faithful against jnp.fft on TPU at 2x the throughput of HIGHEST's
+bf16x6; see the PRECISION comment below); twiddle factors are computed
+host-side in float64. Verified against jnp.fft to float32 round-off in
+tests/test_mxufft.py.
 
 Use ``use_mxu`` to decide at trace time whether to route a call site here:
 on CPU (the test backend) the matmul formulation's extra arithmetic is a

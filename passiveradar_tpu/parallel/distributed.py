@@ -48,7 +48,15 @@ def init_distributed(coordinator_address: str | None = None,
                                    num_processes=num_processes,
                                    process_id=process_id,
                                    cluster_detection_method="deactivate")
-    elif coordinator_address is None and num_processes is None:
+    elif coordinator_address is not None:
+        # a coordinator without an explicit process layout cannot be
+        # auto-detected — silently running single-process here would
+        # quietly process the whole capture on one host
+        raise ValueError(
+            "coordinator_address given without num_processes; pass "
+            "--num-processes/--process-id too (or neither, on a cloud "
+            "TPU pod where the topology auto-detects)")
+    elif num_processes is None:
         try:
             jax.distributed.initialize()
         except ValueError:

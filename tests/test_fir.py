@@ -1,5 +1,6 @@
 """FIR/resampling kernels vs scipy oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -144,3 +145,21 @@ def test_mix_resample_batch_pallas_matches_vmap(rng, monkeypatch):
     assert got.shape == want.shape
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) < 2e-6 * scale
+
+
+def test_mix_resample_batch_falls_back_for_pure_upsample(rng, monkeypatch):
+    """down=1 violates the Pallas kernel's lookahead constraint — the batch
+    entry must fall back to the vmapped path, not crash."""
+    from passiveradar_tpu.ops.fir import mix_resample_poly_batch
+
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_RESAMPLE", "1")
+    x = rng.standard_normal((2, 1024, 2)).astype(np.float32)
+    phases = np.zeros(2, np.float32)
+    got = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), 1e5, 2.4e6, 2, 1,
+        padtype="line"))
+    want = np.asarray(jax.vmap(
+        lambda v, p: mix_resample_poly(v, 1e5, 2.4e6, p, 2, 1,
+                                       padtype="line"))(
+        jnp.asarray(x), jnp.asarray(phases)))
+    assert np.max(np.abs(got - want)) < 1e-6 * np.max(np.abs(want))
