@@ -115,3 +115,13 @@ def test_two_process_run_matches_single_host(capture):
     with h5py.File(str(d / "ONE.hdf5")) as f:
         want = np.asarray(f["/xambg"])
     assert np.max(np.abs(merged - want)) < 1e-3 * np.max(np.abs(want))
+
+
+def test_init_distributed_rejects_coordinator_without_layout():
+    """--coordinator alone must fail loudly, not run single-process."""
+    import pytest
+
+    from passiveradar_tpu.parallel.distributed import init_distributed
+
+    with pytest.raises(ValueError, match="num_processes"):
+        init_distributed(coordinator_address="127.0.0.1:1234")
