@@ -360,7 +360,7 @@ def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
     planes ride as rows of ONE kernel call — the (·, down) lane regroup
     happens in VMEM (ops/resample_pallas.py) instead of as an XLA relayout.
     """
-    from passiveradar_tpu.ops.resample_pallas import regroup_matmul
+    from passiveradar_tpu.ops.resample_pallas import mix_regroup_matmul
 
     if jnp.iscomplexobj(x):
         planes = jnp.stack([jnp.real(x), jnp.imag(x)], axis=1)
@@ -370,11 +370,11 @@ def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
     st = _mix_resample_static(h_key, up, down, c, n_in, mode)
     groups = st["groups"]
     pad_lraw = st["pad_l"] + st["ext"]
-    rows = planes.reshape(f * 2, n_in)
-    xp = jnp.pad(rows, ((0, 0), (pad_lraw, 0)))   # kernel zero-pads the right
-    out = regroup_matmul(xp, jnp.asarray(st["bank_ri"]), down, groups)
-    o_re = out[0::2, :, :up] - out[1::2, :, up:2 * up]
-    o_im = out[0::2, :, up:2 * up] + out[1::2, :, :up]
+    # kernel zero-pads the right edge itself
+    xp = jnp.pad(planes, ((0, 0), (0, 0), (pad_lraw, 0)))
+    o_re, o_im = mix_regroup_matmul(xp[:, 0], xp[:, 1],
+                                    jnp.asarray(st["bank_ri"]), down,
+                                    groups, up)
     bulk = jax.lax.complex(o_re, o_im) * jnp.asarray(st["fg"])[None, :, None]
     if st["corr"] is not None:
         gl, g_r0, c1l, c2l, c1r, c2r = st["corr"]

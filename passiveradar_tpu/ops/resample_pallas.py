@@ -158,3 +158,108 @@ def regroup_matmul(planes: jnp.ndarray, bank: jnp.ndarray, down: int,
     out = out.reshape(steps * GROUPS_STEP, rows8, s32)
     out = out.transpose(1, 0, 2)[:rows, :groups]
     return out
+
+
+def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int):
+    c_len = GROUPS_STEP * down
+    look = (kw + 1) * 128
+
+    buf[:, :c_len] = xa[:]
+    buf[:, c_len:] = xb[:, :look]
+
+    for g in range(GROUPS_STEP):
+        t = (g * down) // 128
+        j = (g * down) % 128
+        seg = buf[:, t * 128:t * 128 + look]        # (2*f8, (kw+1)*128)
+        if j:
+            seg = pltpu.roll(seg, look - j, axis=1)
+        for k in range(kw):
+            w2[g * f8:(g + 1) * f8,
+               k * 128:(k + 1) * 128] = seg[:f8, k * 128:(k + 1) * 128]
+            w2[g * f8:(g + 1) * f8,
+               (MAX_KW + k) * 128:(MAX_KW + k + 1) * 128] = \
+                seg[f8:, k * 128:(k + 1) * 128]
+
+    out[0] = jnp.dot(w2[:], bkt[:],
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("down", "groups", "up",
+                                             "interpret"))
+def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
+                       bank: jnp.ndarray, down: int, groups: int, up: int,
+                       interpret: bool | None = None):
+    """Complex-output regroup+matmul: the complex combine rides the MXU.
+
+    planes_re/planes_im: (F, n) float32 — the re/im planes of F frames.
+    bank: (2*up, W) float32 — rows [0:up] = Re(B̃), [up:2up] = Im(B̃) of the
+    oscillator-folded tap bank (ops/fir.py:_mix_resample_static bank_ri).
+    Returns (o_re, o_im), each (F, groups, up) float32, with
+    o = Σ_c x[g*down + c] * B̃[p, c] for the complex x = re + j·im — i.e.
+    the combine o_re = xr·Br − xi·Bi, o_im = xr·Bi + xi·Br is folded into
+    ONE matmul by doubling the contraction dim: W2 rows hold
+    [re window | im window] (2*MAX_KW*128 lanes) and the bank supplies
+    [Br; −Bi] columns for o_re and [Bi; Br] for o_im.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    f, n = planes_re.shape
+    if f > 8:
+        parts = [mix_regroup_matmul(planes_re[r:r + 8], planes_im[r:r + 8],
+                                    bank, down, groups, up,
+                                    interpret=interpret)
+                 for r in range(0, f, 8)]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0))
+    s_dim, w = bank.shape
+    assert s_dim == 2 * up
+    kw = -(-w // 128)
+    if kw > MAX_KW:
+        raise ValueError(f"bank width {w} > {MAX_KW * 128}")
+    s32 = -(-2 * up // 32) * 32                    # [o_re(up) | o_im(up)]
+    b_re = bank[:up].T.astype(jnp.float32)         # (W, up)
+    b_im = bank[up:].T.astype(jnp.float32)
+    half = MAX_KW * 128
+    bkt = jnp.zeros((2 * half, s32), jnp.float32)
+    bkt = bkt.at[:w, :up].set(b_re)
+    bkt = bkt.at[half:half + w, :up].set(-b_im)
+    bkt = bkt.at[:w, up:2 * up].set(b_im)
+    bkt = bkt.at[half:half + w, up:2 * up].set(b_re)
+
+    f8 = -(-f // 8) * 8
+    steps = -(-groups // GROUPS_STEP)
+    c_len = GROUPS_STEP * down
+    look = (kw + 1) * 128
+    need = (steps + 1) * c_len
+    xp = jnp.zeros((2 * f8, need), jnp.float32)
+    xp = xp.at[:f, :n].set(planes_re)
+    xp = xp.at[f8:f8 + f, :n].set(planes_im)
+
+    kern = functools.partial(_kernel_cx, f8=f8, down=down, kw=kw)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((2 * f8, c_len), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * f8, c_len), lambda i: (0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * MAX_KW * 128, s32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, GROUPS_STEP * f8, s32),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps, GROUPS_STEP * f8, s32),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * f8, c_len + look), jnp.float32),
+            pltpu.VMEM((GROUPS_STEP * f8, 2 * MAX_KW * 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, xp, bkt)
+
+    out = out.reshape(steps * GROUPS_STEP, f8, s32)
+    out = out.transpose(1, 0, 2)[:f, :groups]
+    return out[..., :up], out[..., up:2 * up]
