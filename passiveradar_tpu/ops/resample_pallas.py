@@ -177,7 +177,7 @@ def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int):
             w2[g * f8:(g + 1) * f8,
                k * 128:(k + 1) * 128] = seg[:f8, k * 128:(k + 1) * 128]
             w2[g * f8:(g + 1) * f8,
-               (MAX_KW + k) * 128:(MAX_KW + k + 1) * 128] = \
+               (kw + k) * 128:(kw + k + 1) * 128] = \
                 seg[f8:, k * 128:(k + 1) * 128]
 
     out[0] = jnp.dot(w2[:], bkt[:],
@@ -220,7 +220,7 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
     s32 = -(-2 * up // 32) * 32                    # [o_re(up) | o_im(up)]
     b_re = bank[:up].T.astype(jnp.float32)         # (W, up)
     b_im = bank[up:].T.astype(jnp.float32)
-    half = MAX_KW * 128
+    half = kw * 128
     bkt = jnp.zeros((2 * half, s32), jnp.float32)
     bkt = bkt.at[:w, :up].set(b_re)
     bkt = bkt.at[half:half + w, :up].set(-b_im)
@@ -245,7 +245,7 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * f8, c_len), lambda i: (0, i + 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * MAX_KW * 128, s32), lambda i: (0, 0),
+            pl.BlockSpec((2 * half, s32), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, GROUPS_STEP * f8, s32),
@@ -255,7 +255,7 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * f8, c_len + look), jnp.float32),
-            pltpu.VMEM((GROUPS_STEP * f8, 2 * MAX_KW * 128), jnp.float32),
+            pltpu.VMEM((GROUPS_STEP * f8, 2 * half), jnp.float32),
         ],
         interpret=interpret,
     )(xp, xp, bkt)

@@ -163,3 +163,27 @@ def test_mix_resample_batch_falls_back_for_pure_upsample(rng, monkeypatch):
                                        padtype="line"))(
         jnp.asarray(x), jnp.asarray(phases)))
     assert np.max(np.abs(got - want)) < 1e-6 * np.max(np.abs(want))
+
+
+@pytest.mark.parametrize("up,down", [(13, 119), (1, 3), (2, 7), (3, 17),
+                                     (5, 32)])
+def test_mix_resample_batch_pallas_geometries(rng, monkeypatch, up, down):
+    """The Pallas batch path must match the vmapped einsum path across
+    rational ratios (different bank widths, lookahead tile counts, phases)."""
+    from passiveradar_tpu.ops.fir import mix_resample_poly_batch
+
+    n_in, frames = down * 140, 2
+    fc, fs = 5_000.0, 96_000.0
+    x = rng.standard_normal((frames, n_in, 2)).astype(np.float32)
+    phases = rng.standard_normal(frames).astype(np.float32)
+
+    want = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), fc, fs, up, down,
+        padtype="line"))
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_RESAMPLE", "1")
+    got = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), fc, fs, up, down,
+        padtype="line"))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) < 2e-6 * scale
