@@ -51,7 +51,8 @@ def _channelize(x, proto, n_channels: int, taps_per_branch: int):
     # as an accumulated chain of shifted elementwise multiplies: XLA fuses
     # the t' terms into ~one pass over the signal, where the former
     # stack+einsum materialised a (m, t', K) copy of the whole capture
-    # (measured 8.6x slower) and bf16-rounded the contraction
+    # (measured 8.6x slower); elementwise multiplies are full f32, so no
+    # matmul precision pin is needed here
     hbf = hb.astype(jnp.float32)
     yb = xb * hbf[0]
     for i in range(1, t):

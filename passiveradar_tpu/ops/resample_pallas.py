@@ -15,20 +15,22 @@ multiple of 128 — so a grid step over 128-group blocks reads lane-aligned
 input blocks, and within a block every group's window offset ``g*down`` has
 a *static* tile index and roll amount. The kernel therefore:
 
-  * copies the step's input block plus a 4-tile lookahead into VMEM,
+  * copies the step's input block plus a (kw+1)-tile lookahead into VMEM
+    (kw = ceil(bank width / 128); requires (kw+1)*128 <= 128*down, enforced
+    by the caller's support gate in ops/fir.py),
   * for each of the 128 groups (unrolled; all offsets static): slices the
-    4-tile window neighbourhood, left-rotates it by ``(g*down) % 128``
-    (static ``pltpu.roll``), and writes the three aligned 128-lane window
-    chunks into the W matrices,
-  * contracts W with the full-width tap bank on the MXU
-    (``out[g, s] = sum_c x[g*down + c] * bank[s, c]``, bank width padded to
-    3*128 >= W).
+    window neighbourhood, left-rotates it by ``(g*down) % 128`` (static
+    ``pltpu.roll``), and writes the aligned 128-lane window chunks of BOTH
+    input planes into the W2 matrix,
+  * contracts W2 with the doubled, sign-mixed tap bank on the MXU — the
+    complex combine (o_re = xr*Br − xi*Bi, o_im = xr*Bi + xi*Br) rides the
+    same matmul (see mix_regroup_matmul).
 
 The mixer's oscillator is already folded into the (complex) bank by
-``ops.fir._mix_resample_static``; re/im input planes ride as matmul rows,
-so one kernel call handles a whole frame batch. Output is bit-equivalent to
-the einsum path (same f32 HIGHEST contractions, same summation order per
-output up to matmul tiling).
+``ops.fir._mix_resample_static``; one kernel call handles a whole frame
+batch (re/im planes in the sublane dimension, chunked at 8 frames for
+VMEM). Output matches the einsum path to f32 round-off (same f32 HIGHEST
+contractions, summation order differs only by matmul tiling).
 """
 
 from __future__ import annotations
@@ -61,103 +63,6 @@ def use_pallas_resample() -> bool:
     if env is not None:
         return env not in ("0", "", "false")
     return jax.default_backend() == "tpu" and jax.device_count() == 1
-
-
-def _kernel(xa, xb, bkt, out, buf, w0, w1, w2, *, rows: int, down: int,
-            kw: int):
-    c_len = GROUPS_STEP * down
-    look = (kw + 1) * 128
-
-    buf[:, :c_len] = xa[:]
-    buf[:, c_len:] = xb[:, :look]
-
-    ws = (w0, w1, w2)
-    for g in range(GROUPS_STEP):
-        t = (g * down) // 128
-        j = (g * down) % 128
-        seg = buf[:, t * 128:t * 128 + look]          # (rows, (kw+1)*128)
-        if j:
-            seg = pltpu.roll(seg, look - j, axis=1)   # left-rotate by j
-        for k in range(kw):
-            ws[k][g * rows:(g + 1) * rows, :] = seg[:, k * 128:(k + 1) * 128]
-
-    acc = jnp.dot(w0[:], bkt[0:128, :],
-                  precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    for k in range(1, kw):
-        acc = acc + jnp.dot(ws[k][:], bkt[k * 128:(k + 1) * 128, :],
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-    out[0] = acc
-
-
-@functools.partial(jax.jit, static_argnames=("down", "groups", "interpret"))
-def regroup_matmul(planes: jnp.ndarray, bank: jnp.ndarray, down: int,
-                   groups: int, interpret: bool | None = None) -> jnp.ndarray:
-    """out[r, g, s] = sum_c planes[r, g*down + c] * bank[s, c].
-
-    planes: (rows, n) float32, n >= groups*down + bank width. bank:
-    (S, W) float32, W <= MAX_KW*128, S <= 128. Returns (rows, groups, S32)
-    float32 with S32 = S padded up to a multiple of 32 lanes (callers slice
-    [..., :S]).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    rows, n = planes.shape
-    # VMEM budget: the W scratches grow with rows (GROUPS_STEP*rows rows of
-    # 128 lanes, x3) — 16 rows per call fits comfortably; larger batches
-    # split into row chunks (outputs concatenate along the row axis)
-    if rows > 16:
-        parts = [regroup_matmul(planes[r:r + 16], bank, down, groups,
-                                interpret=interpret)
-                 for r in range(0, rows, 16)]
-        return jnp.concatenate(parts, axis=0)
-    s_dim, w = bank.shape
-    kw = -(-w // 128)
-    if kw > MAX_KW:
-        raise ValueError(f"bank width {w} > {MAX_KW * 128}")
-    s32 = -(-s_dim // 32) * 32
-    bkt = jnp.zeros((MAX_KW * 128, s32), jnp.float32)
-    bkt = bkt.at[:w, :s_dim].set(bank.T.astype(jnp.float32))
-
-    rows8 = -(-rows // 8) * 8
-    steps = -(-groups // GROUPS_STEP)
-    c_len = GROUPS_STEP * down
-    look = (kw + 1) * 128
-    need = (steps + 1) * c_len
-    xp = jnp.zeros((rows8, need), jnp.float32)
-    xp = xp.at[:rows, :n].set(planes)
-
-    kern = functools.partial(_kernel, rows=rows8, down=down, kw=kw)
-    out = pl.pallas_call(
-        kern,
-        grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((rows8, c_len), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows8, c_len), lambda i: (0, i + 1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((MAX_KW * 128, s32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, GROUPS_STEP * rows8, s32),
-                               lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((steps, GROUPS_STEP * rows8, s32),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows8, c_len + look), jnp.float32),
-            pltpu.VMEM((GROUPS_STEP * rows8, 128), jnp.float32),
-            pltpu.VMEM((GROUPS_STEP * rows8, 128), jnp.float32),
-            pltpu.VMEM((GROUPS_STEP * rows8, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xp, xp, bkt)
-
-    # rows within a step are group-major: out[step, g*rows8 + r, s]
-    out = out.reshape(steps * GROUPS_STEP, rows8, s32)
-    out = out.transpose(1, 0, 2)[:rows, :groups]
-    return out
 
 
 def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int):
@@ -199,8 +104,9 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
     o = Σ_c x[g*down + c] * B̃[p, c] for the complex x = re + j·im — i.e.
     the combine o_re = xr·Br − xi·Bi, o_im = xr·Bi + xi·Br is folded into
     ONE matmul by doubling the contraction dim: W2 rows hold
-    [re window | im window] (2*MAX_KW*128 lanes) and the bank supplies
-    [Br; −Bi] columns for o_re and [Bi; Br] for o_im.
+    [re window | im window] (2*kw*128 lanes, kw = ceil(W/128); the im half
+    starts at lane kw*128) and the bank supplies [Br; −Bi] columns for o_re
+    and [Bi; Br] for o_im.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

@@ -48,10 +48,11 @@ def init_distributed(coordinator_address: str | None = None,
                                    num_processes=num_processes,
                                    process_id=process_id,
                                    cluster_detection_method="deactivate")
-    elif coordinator_address is not None:
+    elif coordinator_address is not None and num_processes is None:
         # a coordinator without an explicit process layout cannot be
         # auto-detected — silently running single-process here would
-        # quietly process the whole capture on one host
+        # quietly process the whole capture on one host (an explicit
+        # num_processes=1 layout is a valid single-process run)
         raise ValueError(
             "coordinator_address given without num_processes; pass "
             "--num-processes/--process-id too (or neither, on a cloud "

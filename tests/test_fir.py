@@ -165,14 +165,17 @@ def test_mix_resample_batch_falls_back_for_pure_upsample(rng, monkeypatch):
     assert np.max(np.abs(got - want)) < 1e-6 * np.max(np.abs(want))
 
 
-@pytest.mark.parametrize("up,down", [(13, 119), (1, 3), (2, 7), (3, 17),
-                                     (5, 32)])
-def test_mix_resample_batch_pallas_geometries(rng, monkeypatch, up, down):
+@pytest.mark.parametrize("up,down,frames", [(13, 119, 2), (1, 3, 2),
+                                            (2, 7, 10), (3, 17, 2),
+                                            (5, 32, 2)])
+def test_mix_resample_batch_pallas_geometries(rng, monkeypatch, up, down,
+                                              frames):
     """The Pallas batch path must match the vmapped einsum path across
-    rational ratios (different bank widths, lookahead tile counts, phases)."""
+    rational ratios (different bank widths, lookahead tile counts, phases)
+    and across the frames>8 row-chunk split (the (2,7,10) case)."""
     from passiveradar_tpu.ops.fir import mix_resample_poly_batch
 
-    n_in, frames = down * 140, 2
+    n_in = down * 140
     fc, fs = 5_000.0, 96_000.0
     x = rng.standard_normal((frames, n_in, 2)).astype(np.float32)
     phases = rng.standard_normal(frames).astype(np.float32)
