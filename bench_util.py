@@ -24,6 +24,22 @@ def _looks_like_metric(line: str) -> bool:
     return line.startswith("{") and '"metric"' in line
 
 
+def _backend_alive(timeout_s: float = 180.0) -> bool:
+    """Quick liveness probe: can a trivial device op complete?
+
+    A dead relay tunnel makes every device call hang forever; probing first
+    bounds the failure to minutes instead of attempts*timeout.
+    """
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.sum(jnp.arange(4.0))))")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True,
+                              timeout=timeout_s).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_with_retries(argv: list[str], attempts: int = 3,
                      timeout_s: float = 1500.0) -> int:
     """Run ``argv`` until it emits a JSON metric line; retry on failure.
@@ -31,6 +47,15 @@ def run_with_retries(argv: list[str], attempts: int = 3,
     Prints the child's metric line(s) on stdout and everything else on
     stderr. Returns 0 on success, the last child's return code otherwise.
     """
+    for probe in range(1, 4):
+        if _backend_alive():
+            break
+        print(f"# backend liveness probe {probe}/3 failed "
+              "(relay tunnel unresponsive)", file=sys.stderr)
+        if probe == 3:
+            print("# giving up: device backend unreachable", file=sys.stderr)
+            return 2
+        time.sleep(30.0 * probe)
     last_rc = 1
     for attempt in range(1, attempts + 1):
         t0 = time.time()
