@@ -124,7 +124,9 @@ def levinson_first_col(c: jnp.ndarray) -> jnp.ndarray:
     cf_pad = jnp.concatenate(
         [jnp.zeros((nb, m), cb.dtype), jnp.flip(cb, -1),
          jnp.zeros((nb, m), cb.dtype)], axis=-1)
-    a0 = jnp.zeros((nb, m), cb.dtype).at[:, 0].set(1.0)
+    # derive the carry init from cb (not a fresh constant) so shard_map's
+    # varying-manual-axes tracking accepts the scan inside manual regions
+    a0 = (cb * 0).at[:, 0].set(1.0)
     e0 = jnp.real(cb[:, 0])
 
     def step(carry, k):
@@ -431,7 +433,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
         return (f_cur, ifft_head, corr), None
 
     (f_cur, _, corr), _ = jax.lax.scan(
-        body, (f_cur0, head0, jnp.zeros(m, srv.dtype)),
+        body, (f_cur0, head0, head0 * 0),
         (f_rs_all, tails, solve_xs, r_all))
     out = ifft_auto(f_cur)
     out = out.at[:m].add(corr)

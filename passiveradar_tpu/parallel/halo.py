@@ -33,32 +33,39 @@ def overlap_frames(x: jnp.ndarray, depth: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def local_overlap(xl: jnp.ndarray, depth: int, n: int,
+                  axis_name: str = "frames") -> jnp.ndarray:
+    """Per-shard body of the halo exchange — call inside a shard_map region.
+
+    xl: this device's (f_local, C) block of the frame axis (sharded over
+    ``axis_name`` with ``n`` devices). Edge chunks are exchanged with
+    lax.ppermute ring neighbours; interior halos come from the local shard;
+    zero boundary at the capture edges (dask ``boundary=0``).
+    """
+    me_fwd = [(i, (i + 1) % n) for i in range(n)]
+    me_bwd = [(i, (i - 1) % n) for i in range(n)]
+    # tail of my last frame → right neighbour; head of my first → left
+    tail = xl[-1:, -depth:]
+    head = xl[:1, :depth]
+    from_left = jax.lax.ppermute(tail, axis_name, me_fwd)
+    from_right = jax.lax.ppermute(head, axis_name, me_bwd)
+    idx = jax.lax.axis_index(axis_name)
+    from_left = jnp.where(idx == 0, 0.0, from_left)
+    from_right = jnp.where(idx == n - 1, 0.0, from_right)
+
+    left = jnp.concatenate([from_left, xl[:-1, -depth:]], axis=0)
+    right = jnp.concatenate([xl[1:, :depth], from_right], axis=0)
+    return jnp.concatenate([left, xl, right], axis=1)
+
+
 def overlap_frames_shmap(x: jnp.ndarray, depth: int, mesh: Mesh,
                          axis_name: str = "frames") -> jnp.ndarray:
     """Explicit-collective version of overlap_frames for a sharded frame axis.
 
-    Requires the leading axis to be evenly sharded over ``axis_name``. Local
-    edge chunks are exchanged with lax.ppermute (ring neighbours); interior
-    halos come from the local shard.
+    Requires the leading axis to be evenly sharded over ``axis_name``.
+    Bit-identical to overlap_frames (tested).
     """
     n = mesh.shape[axis_name]
-
-    def local(xl):
-        # xl: (f_local, C) block of this device
-        me_fwd = [(i, (i + 1) % n) for i in range(n)]
-        me_bwd = [(i, (i - 1) % n) for i in range(n)]
-        # tail of my last frame → right neighbour; head of my first → left
-        tail = xl[-1:, -depth:]
-        head = xl[:1, :depth]
-        from_left = jax.lax.ppermute(tail, axis_name, me_fwd)
-        from_right = jax.lax.ppermute(head, axis_name, me_bwd)
-        idx = jax.lax.axis_index(axis_name)
-        from_left = jnp.where(idx == 0, 0.0, from_left)
-        from_right = jnp.where(idx == n - 1, 0.0, from_right)
-
-        left = jnp.concatenate([from_left, xl[:-1, -depth:]], axis=0)
-        right = jnp.concatenate([xl[1:, :depth], from_right], axis=0)
-        return jnp.concatenate([left, xl, right], axis=1)
-
     return jax.shard_map(
-        local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))(x)
+        lambda xl: local_overlap(xl, depth, n, axis_name),
+        mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))(x)

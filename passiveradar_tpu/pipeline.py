@@ -111,6 +111,17 @@ def clutter_batch(ref: jnp.ndarray, srv: jnp.ndarray,
     return jax.vmap(fn)(ref, srv)
 
 
+def _caf_windowed(ref_ov: jnp.ndarray, srv_ov: jnp.ndarray,
+                  cfg: RadarConfig) -> jnp.ndarray:
+    """Windowed CAF of already halo-extended frames."""
+    win = resolve_window(cfg.caf_window, cfg.caf_input_samples)
+    win_j = None if win is None else jnp.asarray(win)
+    fn = lambda r, s: fast_xambg(r, s, cfg.num_range_cells,
+                                 cfg.num_doppler_cells, window=win_j,
+                                 short_filt=cfg.caf_short_filt)
+    return jax.vmap(fn)(ref_ov, srv_ov)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
               cfg: RadarConfig) -> jnp.ndarray:
@@ -122,12 +133,7 @@ def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
     if cfg.window_overlap:
         ref = overlap_frames(ref, cfg.window_overlap)
         srv_clean = overlap_frames(srv_clean, cfg.window_overlap)
-    win = resolve_window(cfg.caf_window, cfg.caf_input_samples)
-    win_j = None if win is None else jnp.asarray(win)
-    fn = lambda r, s: fast_xambg(r, s, cfg.num_range_cells,
-                                 cfg.num_doppler_cells, window=win_j,
-                                 short_filt=cfg.caf_short_filt)
-    return jax.vmap(fn)(ref, srv_clean)
+    return _caf_windowed(ref, srv_clean, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -139,6 +145,47 @@ def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     srv = preprocess_batch(raw_srv, phases, cfg)
     srv_clean = clutter_batch(ref, srv, cfg)
     return caf_batch(ref, srv_clean, cfg)
+
+
+def process_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
+                         phases: jnp.ndarray, cfg: RadarConfig, mesh,
+                         axis_name: str = "frames") -> jnp.ndarray:
+    """Explicit-collective multi-chip pipeline (shard_map formulation).
+
+    Equivalent to process_frames with the frame axis sharded over ``mesh``,
+    but written as a manual SPMD program: every stage runs on the device's
+    local frame block and the only cross-device traffic is the CPI-overlap
+    halo (one lax.ppermute pair per channel over ICI). Two uses:
+
+    * manual control of the collective schedule (vs trusting the SPMD
+      partitioner to lower overlap_frames' rolls well), and
+    * Pallas kernels: Mosaic custom calls don't auto-partition, so the
+      sharded auto path falls back to the einsum resampler —
+      inside this manual region the per-device Pallas path is legal
+      (opt in with PASSIVERADAR_PALLAS_RESAMPLE=1 on a mesh).
+
+    The frame axis must divide the mesh. Returns globally-sharded maps.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from passiveradar_tpu.parallel.halo import local_overlap
+
+    n = mesh.shape[axis_name]
+
+    def local(r, s, p):
+        ref = preprocess_batch(r, p, cfg)
+        srv = preprocess_batch(s, p, cfg)
+        srv_clean = clutter_batch(ref, srv, cfg)
+        if cfg.window_overlap:
+            ref = local_overlap(ref, cfg.window_overlap, n, axis_name)
+            srv_clean = local_overlap(srv_clean, cfg.window_overlap, n,
+                                      axis_name)
+        return _caf_windowed(ref, srv_clean, cfg)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                       out_specs=P(axis_name))
+    return jax.jit(fn)(raw_ref, raw_srv, phases)
 
 
 def frame_phases(cfg: RadarConfig, frame_indices: Sequence[int]) -> np.ndarray:

@@ -382,3 +382,33 @@ def test_int16_capture_ships_raw_and_matches_float32(tiny_cfg, tmp_path):
     m32 = load_maps(cfg, str(tmp_path / "m32.hdf5"))
     scale = np.max(np.abs(m32))
     assert np.max(np.abs(m16 - m32)) <= 1e-6 * scale
+
+
+def test_shmap_pipeline_matches_single_device(tiny_cfg, monkeypatch):
+    """The explicit-collective shard_map pipeline must match the single-
+    device evaluation — with the einsum resampler AND with the Pallas
+    kernel running per-device inside the manual region (interpret mode)."""
+    from passiveradar_tpu.pipeline import process_frames_shmap
+
+    cfg = tiny_cfg
+    n_frames = 8
+    tgt = Target(delay_samples=30, doppler_hz=-15.0, amplitude=0.1)
+    ref, srv = _make_frames(cfg, n_frames, (tgt,))
+    phases = jnp.asarray(frame_phases(cfg, list(range(n_frames))))
+
+    single = np.asarray(process_frames(
+        jnp.asarray(ref), jnp.asarray(srv), phases, cfg))
+    scale = np.max(np.abs(single))
+
+    mesh = make_mesh(8)
+    sh = frame_sharding(mesh)
+    ref_s = jax.device_put(jnp.asarray(ref), sh)
+    srv_s = jax.device_put(jnp.asarray(srv), sh)
+    ph_s = jax.device_put(phases, sh)
+
+    got = np.asarray(process_frames_shmap(ref_s, srv_s, ph_s, cfg, mesh))
+    assert np.max(np.abs(got - single)) < 1e-3 * scale
+
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_RESAMPLE", "1")
+    got_pl = np.asarray(process_frames_shmap(ref_s, srv_s, ph_s, cfg, mesh))
+    assert np.max(np.abs(got_pl - single)) < 1e-3 * scale
