@@ -118,9 +118,14 @@ def _caf_pre_rows(aa, pp, d: int, n_extra: int, range_bins: int,
     if use_mxu() and fft_len <= 4096:
         # forward transforms read only their d+r / d nonzero inputs and the
         # inverse keeps only r+1 of fft_len outputs — sliced DFT matmuls do
-        # that fraction of the work on the MXU instead of full VPU FFTs
-        fs_ = dft_matmul(s_win, axis=1, n=fft_len)
-        fa_ = dft_matmul(jnp.conj(a_rows[:nf]), axis=1, n=fft_len)
+        # that fraction of the work on the MXU instead of full VPU FFTs.
+        # A dense DFT matmul needs no power-of-two length, only ≥ d+r+1 for
+        # alias-free circular correlation: the 128-lane grid round-up is
+        # ~25% fewer MACs than the pow2 length at the FM geometry (768 vs
+        # 1024 for d+r+1 = 688).
+        mm_len = min(fft_len, -(-(d + r + 1) // 128) * 128)
+        fs_ = dft_matmul(s_win, axis=1, n=mm_len)
+        fa_ = dft_matmul(jnp.conj(a_rows[:nf]), axis=1, n=mm_len)
         c = dft_matmul(fs_ * jnp.conj(fa_), axis=1, inverse=True,
                        out_len=r + 1)
     else:

@@ -128,21 +128,28 @@ def levinson_first_col(c: jnp.ndarray) -> jnp.ndarray:
     # varying-manual-axes tracking accepts the scan inside manual regions
     a0 = (cb * 0).at[:, 0].set(1.0)
     e0 = jnp.real(cb[:, 0])
+    # ar[j] = conj(a[k-j]) — the reversed-conjugate polynomial is carried and
+    # updated by a one-sample shift instead of rebuilt with flip+concat every
+    # step (the recursion is latency-bound: 184 dependent steps, so per-step
+    # op count is the whole cost). Entering step k=1 it is shift(a0).
+    ar0 = jnp.concatenate([jnp.zeros((nb, 1), a0.dtype), a0[:, :-1]], axis=-1)
 
     def step(carry, k):
-        a, e = carry
+        a, ar, e = carry
         crev = jax.lax.dynamic_slice_in_dim(cf_pad, 2 * m - 1 - k, m, axis=1)
         acc = jnp.sum(a * crev, axis=-1)
         kap = -acc / e.astype(acc.dtype)
-        af_pad = jnp.concatenate(
-            [jnp.zeros((nb, m), a.dtype), jnp.flip(jnp.conj(a), -1),
-             jnp.zeros((nb, m), a.dtype)], axis=-1)
-        arev = jax.lax.dynamic_slice_in_dim(af_pad, 2 * m - 1 - k, m, axis=1)
-        a = a + kap[:, None] * arev
+        a_new = a + kap[:, None] * ar
+        # reversal at order k+1: ar'[j] = conj(a_new[k+1-j])
+        #                              = (ar + conj(kap)·a)[j-1]
+        ar_shift = ar + jnp.conj(kap)[:, None] * a
+        ar_new = jnp.concatenate(
+            [jnp.zeros((nb, 1), a.dtype), ar_shift[:, :-1]], axis=-1)
         e = e * (1.0 - jnp.abs(kap) ** 2)
-        return (a, e), None
+        return (a_new, ar_new, e), None
 
-    (a, e), _ = jax.lax.scan(step, (a0, e0), jnp.arange(1, m))
+    (a, _, e), _ = jax.lax.scan(step, (a0, ar0, e0), jnp.arange(1, m),
+                                unroll=4)
     x = a / e[:, None].astype(a.dtype)
     return x.reshape(batch + (m,))
 
@@ -428,7 +435,11 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
         f_clutter = f_rs * sparse_fft(taps, n)
         head_fix = _tri_conv_wrap(taps, rs_tail, m)
         f_cur = f_cur - f_clutter
-        ifft_head = ifft_head - partial_ifft(f_clutter, m)
+        # ifft(f_clutter)[:m] without a transform: the circular-conv head is
+        # the causal part Σ_{j≤t} taps[j]·rs[t-j] (= taps @ conj(R), R the Δcc
+        # kernel built from this bin's heads) plus the wrap terms, which are
+        # exactly head_fix — two m×m matvecs instead of a sliced DFT matmul.
+        ifft_head = ifft_head - (taps @ jnp.conj(r_mat) + head_fix)
         corr = corr + head_fix
         return (f_cur, ifft_head, corr), None
 

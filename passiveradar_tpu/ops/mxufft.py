@@ -90,12 +90,28 @@ def _mm(xr, xi, dr, di):
     return yr, yi
 
 
+# per-level radix for large transforms. MAC count is N·ΣRᵢ (ΠRᵢ = N), so
+# small radices minimise arithmetic — but measured on v5e (bench_fftsweep.py,
+# 8×2^18: radix 64→2.16 ms, 128→2.06, 256→1.65, 512→1.73) the winner is 256:
+# below that the extra twiddle/transpose passes and thinner contractions cost
+# more than the saved MACs. Module-level so benchmarks can sweep it.
+RADIX = 256
+
+
 def _split_radix(n: int) -> int:
-    """Base factor R for one four-step level: balanced, capped at _BASE."""
-    r = 1
-    while r * r < n:
-        r *= 2
-    return min(r, _BASE)
+    """Base factor R for one four-step level (see RADIX).
+
+    Levels peel RADIX until the remainder is a single direct matmul of at
+    most RADIX points (n = RADIX^k · tail), so the per-sample MAC count is
+    k·RADIX + tail instead of the balanced split's ~2·√n."""
+    r = max(2, min(RADIX, _BASE))
+    if n <= r * r:
+        # last split: balance the two remaining factors (8·32 beats 128·2)
+        s = 1
+        while s * s < n:
+            s *= 2
+        return s
+    return r
 
 
 def _core(xr, xi, inverse: bool):

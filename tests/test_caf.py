@@ -57,6 +57,30 @@ def test_fast_xambg_wide_lag_span(rng):
     assert err < 1e-5
 
 
+def test_fast_xambg_mxu_nonpow2_corr_len(rng, monkeypatch):
+    """MXU branch with a 128-grid correlation length below the pow2 length.
+
+    d + r + 1 = 327 rounds to a 384-point dense DFT (vs pow2 512) — the
+    sliced-matmul path must stay alias-free and exact at non-pow2 lengths.
+    """
+    import jax
+
+    from passiveradar_tpu.ops import mxufft
+
+    n, nf, r = 4096, 16, 70          # d = 256, d + r + 1 = 327
+    ref, srv = _cnoise(rng, n), _cnoise(rng, n)
+    want = caf_oracle(ref, srv, r, nf)
+    monkeypatch.setenv("PASSIVERADAR_MXU_FFT", "1")
+    jax.clear_caches()
+    try:
+        got = np.asarray(fast_xambg(ref, srv, r, nf))
+    finally:
+        monkeypatch.delenv("PASSIVERADAR_MXU_FFT")
+        jax.clear_caches()
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 1e-5
+
+
 def test_fast_xambg_zero_pad_short_input(rng):
     n, nf, r = 4096, 64, 10
     ref, srv = _cnoise(rng, n - 5), _cnoise(rng, n - 5)
