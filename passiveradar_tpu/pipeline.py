@@ -182,9 +182,13 @@ def process_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
                                       axis_name)
         return _caf_windowed(ref, srv_clean, cfg)
 
+    # check_vma=False: Pallas custom calls (the opt-in resampler kernel)
+    # declare their out_shape without varying-mesh-axes metadata, which the
+    # vma checker rejects inside a manual region; every stage here is
+    # purely frame-local, so the check adds nothing.
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-                       out_specs=P(axis_name))
+                       out_specs=P(axis_name), check_vma=False)
     return jax.jit(fn)(raw_ref, raw_srv, phases)
 
 
