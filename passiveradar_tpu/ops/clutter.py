@@ -103,7 +103,7 @@ def _toeplitz_inverse_c(c: jnp.ndarray) -> jnp.ndarray:
         jnp.conj(chol.T), y, lower=False)
 
 
-def levinson_first_col(c: jnp.ndarray) -> jnp.ndarray:
+def levinson_first_col(c: jnp.ndarray, unroll: int = 4) -> jnp.ndarray:
     """First column x = T⁻¹e₀ of the Hermitian Toeplitz inverse, batched.
 
     ``c`` is (..., m) — the first column of each T (same convention as
@@ -148,8 +148,12 @@ def levinson_first_col(c: jnp.ndarray) -> jnp.ndarray:
         e = e * (1.0 - jnp.abs(kap) ** 2)
         return (a_new, ar_new, e), None
 
+    # the recursion is latency-bound (m-1 dependent steps): unrolling packs
+    # more of the chain into each XLA while-iteration (swept on TPU via
+    # bench_levinson.py at the FM geometry's 40×185 batch: 4 ≈ 8 < 32 < 16;
+    # 1.48 ms is the scan's latency floor)
     (a, _, e), _ = jax.lax.scan(step, (a0, ar0, e0), jnp.arange(1, m),
-                                unroll=4)
+                                unroll=unroll)
     x = a / e[:, None].astype(a.dtype)
     return x.reshape(batch + (m,))
 
@@ -340,9 +344,15 @@ def _modulated_ref_spectra(ref, n: int, m: int, peek: int, sample_rate: float,
 
     w = 2.0 * np.pi / n
     tdev = jnp.arange(n, dtype=jnp.float32)
-    f0 = fft_auto(ref)
-    f1 = fft_auto(ref * tdev)
-    f2 = fft_auto(ref * (tdev * tdev)) if order == 2 else None
+    # one batched transform for all base spectra (2-3 rows) instead of
+    # separate full-length calls — the MXU DFT then runs one kernel set
+    # over a deeper batch
+    rows = [ref, ref * tdev]
+    if order == 2:
+        rows.append(ref * (tdev * tdev))
+    fb = fft_auto(jnp.stack(rows), axis=-1)
+    f0, f1 = fb[0], fb[1]
+    f2 = fb[2] if order == 2 else None
     ramp = jnp.asarray(np.exp(
         2j * np.pi * np.mod(np.arange(n, dtype=np.float64) * peek / n, 1.0)
     ).astype(np.complex64))                        # time roll by -peek

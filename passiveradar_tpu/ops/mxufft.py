@@ -82,12 +82,21 @@ def _twiddle(n: int, r: int, inverse: bool):
 
 
 def _mm(xr, xi, dr, di):
-    """(..., k) complex planes @ (k, m) complex matrix -> (..., m) planes."""
+    """(..., k) complex planes @ (k, m) complex matrix -> (..., m) planes.
+
+    3-multiplication (Karatsuba / zgemm3m) form: yr = m1 - m2 and
+    yi = m3 - m1 - m2 with m1 = xr·dr, m2 = xi·di, m3 = (xr+xi)·(dr+di) —
+    25% fewer MXU MACs than the textbook 4-matmul complex product for two
+    cheap VPU adds (dr+di is a compile-time constant fold). Accuracy for
+    DFT sums is within the same f32 round-off envelope as the 4-mult form
+    (|m1|,|m2| ~ |y|: no catastrophic growth), verified in test_mxufft.
+    """
     ein = functools.partial(jnp.einsum, precision=PRECISION,
                             preferred_element_type=jnp.float32)
-    yr = ein("...k,km->...m", xr, dr) - ein("...k,km->...m", xi, di)
-    yi = ein("...k,km->...m", xr, di) + ein("...k,km->...m", xi, dr)
-    return yr, yi
+    m1 = ein("...k,km->...m", xr, dr)
+    m2 = ein("...k,km->...m", xi, di)
+    m3 = ein("...k,km->...m", xr + xi, dr + di)
+    return m1 - m2, m3 - m1 - m2
 
 
 # per-level radix for large transforms. MAC count is N·ΣRᵢ (ΠRᵢ = N), so
@@ -128,11 +137,13 @@ def _core(xr, xi, inverse: bool):
     dr, di = _dft_mat(r, inverse)
     ein = functools.partial(jnp.einsum, precision=PRECISION,
                             preferred_element_type=jnp.float32)
-    # DFT-R along axis -2 (D_R is symmetric: W^{ru})
-    yr = ein("...rc,ru->...uc", xr, jnp.asarray(dr)) \
-        - ein("...rc,ru->...uc", xi, jnp.asarray(di))
-    yi = ein("...rc,ru->...uc", xr, jnp.asarray(di)) \
-        + ein("...rc,ru->...uc", xi, jnp.asarray(dr))
+    # DFT-R along axis -2 (D_R is symmetric: W^{ru}); 3-mult complex
+    # product as in _mm
+    m1 = ein("...rc,ru->...uc", xr, jnp.asarray(dr))
+    m2 = ein("...rc,ru->...uc", xi, jnp.asarray(di))
+    m3 = ein("...rc,ru->...uc", xr + xi, jnp.asarray(dr + di))
+    yr = m1 - m2
+    yi = m3 - m1 - m2
     tr, ti = _twiddle(n, r, inverse)
     tr = jnp.asarray(tr)
     ti = jnp.asarray(ti)

@@ -49,6 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 GROUPS_STEP = 128
 # max bank width the kernel supports: window chunks per group
 MAX_KW = 3
+# matmul precision for the kernel contraction. Module-level so benchmarks
+# can A/B it (bench_resample_prec.py): HIGHEST = bf16x6 passes, HIGH =
+# bf16x3 at half the MXU work — see the measured speed/accuracy trade in
+# docs/PERFORMANCE.md before changing the default.
+PRECISION = jax.lax.Precision.HIGHEST
 
 
 def use_pallas_resample() -> bool:
@@ -85,8 +90,7 @@ def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int):
                (kw + k) * 128:(kw + k + 1) * 128] = \
                 seg[f8:, k * 128:(k + 1) * 128]
 
-    out[0] = jnp.dot(w2[:], bkt[:],
-                     precision=jax.lax.Precision.HIGHEST,
+    out[0] = jnp.dot(w2[:], bkt[:], precision=PRECISION,
                      preferred_element_type=jnp.float32)
 
 

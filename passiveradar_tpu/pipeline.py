@@ -141,6 +141,9 @@ def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
                    phases: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
     """Full chain for a self-contained batch of frames (halo from within the
     batch, zero at its edges). raw_*: (F, input_chunk_length) float32."""
+    # NOTE: preprocessing both channels as one concatenated 2F-frame batch
+    # was measured SLOWER (391 vs 410 frames/s): the concat materialises a
+    # ~300 MB copy of the raw IQ before the resampler kernel.
     ref = preprocess_batch(raw_ref, phases, cfg)
     srv = preprocess_batch(raw_srv, phases, cfg)
     srv_clean = clutter_batch(ref, srv, cfg)
