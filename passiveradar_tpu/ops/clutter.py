@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from passiveradar_tpu.ops.mxufft import fft_auto, ifft_auto
+from passiveradar_tpu.ops.mxufft import dft_matmul, fft_auto, ifft_auto, use_mxu
 from passiveradar_tpu.ops.zoomfft import partial_ifft, sparse_fft
 
 
@@ -366,17 +366,55 @@ def _modulated_ref_spectra(ref, n: int, m: int, peek: int, sample_rate: float,
     return ramp[None, :] * jnp.stack(ys), heads, tails
 
 
+def _solver_data(ac_all: jnp.ndarray, m: int, solver: str):
+    """Per-bin Toeplitz solve machinery from the (nb, m) autocorrelations.
+
+    Returns (xs, apply_inv) where xs is a tuple of per-bin arrays (leading
+    axis = bin) and apply_inv(per_bin_slice_of_xs, rhs) solves T_b x = rhs.
+    """
+    if solver == "levinson":
+        # O(m²) Levinson recursion + Gohberg-Semencul generators instead of
+        # O(m³) dense inverses: the per-bin solve becomes four padded-FFT
+        # convolutions (gs_apply)
+        x_all = levinson_first_col(ac_all)
+        fft_m = _next_pow2(2 * m)
+        fx_all, fy_all, delta_all = gs_generators(x_all, fft_m)
+        xs = (fx_all, fy_all, delta_all)
+
+        def apply_inv(sd, cc):
+            fx, fy, delta = sd
+            return gs_apply(fx, fy, delta, cc)
+    elif solver == "cholesky":
+        inv_all = jax.vmap(_toeplitz_inverse_c)(ac_all)
+        xs = (inv_all,)
+
+        def apply_inv(sd, cc):
+            return sd[0] @ cc
+    else:
+        raise ValueError(f"unknown toeplitz solver {solver!r}")
+    return xs, apply_inv
+
+
 def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
                        sample_rate: float, doppler_bins=(0,),
-                       solver: str = "levinson") -> jnp.ndarray:
+                       solver: str = "levinson",
+                       impl: str = "segment") -> jnp.ndarray:
     """Sequential per-Doppler-bin LS passes (reference clutter_removal.py:162-187).
 
     Nonzero bins frequency-shift the reference before filtering; the pipeline
-    uses bins (0, 1, -1, 2, -2) Hz (reference main.py:174). The passes are a
-    lax.scan over the bin axis so the filter body is compiled once, not once
-    per bin; the per-bin spectra assemble from two base FFTs by integer
-    spectrum rolls (see _modulated_ref_spectra) instead of a full FFT per bin.
+    uses bins (0, 1, -1, 2, -2) Hz (reference main.py:174).
+
+    impl="segment" (default): the segment-Gram formulation — no full-length
+    transforms at all, every heavy step batched over bins (see
+    _ls_multiple_segment). impl="carry": the earlier frequency-domain
+    residual-carry formulation (per-bin spectra by integer spectrum rolls,
+    sequential lax.scan over bins); kept as an oracle/AB path.
     """
+    if impl == "segment":
+        return _ls_multiple_segment(ref, srv, filter_len, sample_rate,
+                                    doppler_bins, solver)
+    if impl != "carry":
+        raise ValueError(f"unknown ls_filter_multiple impl {impl!r}")
     n = ref.shape[0]
     peek = 10
     m = filter_len + peek
@@ -395,26 +433,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     # all-zero frames (batch padding)
     guard = 1e-25 * jnp.maximum(1.0, jnp.abs(ac_all[:, 0]))
     ac_all = ac_all.at[:, 0].add(guard.astype(ac_all.dtype))
-    if solver == "levinson":
-        # O(m²) Levinson recursion + Gohberg-Semencul generators instead of
-        # O(m³) dense inverses: the per-bin solve in the scan becomes four
-        # padded-FFT convolutions (gs_apply)
-        x_all = levinson_first_col(ac_all)
-        fft_m = _next_pow2(2 * m)
-        fx_all, fy_all, delta_all = gs_generators(x_all, fft_m)
-        solve_xs = (fx_all, fy_all, delta_all)
-
-        def apply_inv(sd, cc):
-            fx, fy, delta = sd
-            return gs_apply(fx, fy, delta, cc)
-    elif solver == "cholesky":
-        inv_all = jax.vmap(_toeplitz_inverse_c)(ac_all)
-        solve_xs = (inv_all,)
-
-        def apply_inv(sd, cc):
-            return sd[0] @ cc
-    else:
-        raise ValueError(f"unknown toeplitz solver {solver!r}")
+    solve_xs, apply_inv = _solver_data(ac_all, m, solver)
 
     # Δcc kernels: R_b[j, t] = conj(rs_b[t-j]) for t ≥ j — the effect of a
     # head-supported time correction on the first m correlation lags
@@ -459,6 +478,204 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     out = ifft_auto(f_cur)
     out = out.at[:m].add(corr)
     return out.astype(jnp.complex64)
+
+
+# --------------------------------------------------------------------------
+# segment-Gram multi-bin LS (the production clutter path)
+# --------------------------------------------------------------------------
+
+# override for the segment FFT length (power of two); None = auto (see
+# _segment_geometry). Module-level so TPU benchmarks can sweep it.
+SEGMENT_FFT_LEN: int | None = None
+
+
+def _segment_geometry(n: int, m: int):
+    """(F, L, H, K): FFT length, segment stride, halo, segment count.
+
+    H ≥ m-1 keeps lags 0..m-1 alias-free; L = F - H ≥ H keeps the
+    overlap-add tails non-overlapping; F defaults to 4096 (measured sweet
+    spot for the MXU four-step transform) capped at the problem size.
+    """
+    h = _round_up(max(m - 1, 1), 128)
+    f = SEGMENT_FFT_LEN or max(_next_pow2(2 * h), min(4096, _next_pow2(n)))
+    if f < 2 * h:
+        raise ValueError(f"segment FFT length {f} < 2*halo {2 * h}")
+    l = f - h
+    k = -(-n // l)
+    return f, l, h, k
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def _seg_fft(x: jnp.ndarray) -> jnp.ndarray:
+    from passiveradar_tpu.ops import mxufft
+    if use_mxu():
+        return mxufft.fft(x, axis=-1)
+    return jnp.fft.fft(x, axis=-1)
+
+
+def _seg_ifft(x: jnp.ndarray) -> jnp.ndarray:
+    from passiveradar_tpu.ops import mxufft
+    if use_mxu():
+        return mxufft.ifft(x, axis=-1)
+    return jnp.fft.ifft(x, axis=-1)
+
+
+def _seg_windows(x: jnp.ndarray, f: int, l: int, h: int, k: int):
+    """Overlap-save windows of a length-n signal (zero-extended).
+
+    Returns (ext, plain): ext[s] = x[s·l : s·l + f] (the correlation left
+    operand / full halo window), plain[s] = x[s·l : s·l + l] zero-padded to
+    f (the conjugate operand and the convolution operand). Built from
+    reshapes and concats only — no gathers.
+    """
+    n = x.shape[0]
+    zp = jnp.pad(x, (0, k * l + l - n))   # l ≥ h: covers the last ext window
+    base = zp[:k * l].reshape(k, l)
+    nxt = zp[l:l + k * l].reshape(k, l)[:, :h]
+    ext = jnp.concatenate([base, nxt], axis=1)
+    plain = jnp.concatenate([base, jnp.zeros((k, h), x.dtype)], axis=1)
+    return ext, plain
+
+
+def _modulated_refs(ref: jnp.ndarray, n: int, peek: int, sample_rate: float,
+                    doppler_bins) -> jnp.ndarray:
+    """rs_b = roll(ref · e^{j2π f_b t / Fs}, -peek) for every Doppler bin.
+
+    Exact for arbitrary (fractional) bins: the oscillator is an outer
+    product of two host-side float64 factor tables (ops/mixer.py), so there
+    is no integer-bin restriction and no Taylor-ramp truncation — unlike the
+    spectrum-roll trick of the carry impl this path is uniformly exact.
+    """
+    from passiveradar_tpu.ops.mixer import frequency_shift
+    rows = []
+    for f_b in doppler_bins:
+        g = ref if float(f_b) == 0.0 else frequency_shift(
+            ref, float(f_b), float(sample_rate))
+        rows.append(jnp.concatenate([g[peek:], g[:peek]]) if peek else g)
+    return jnp.stack(rows)
+
+
+def _tail_matrices(rs_all: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """(nb, m-1, m) truncation-tail operators T_b[r, j] = rs_b[n + r - j].
+
+    T_b · taps is the part of the linear convolution conv(rs_b, taps) that
+    falls beyond sample n — removed by the reference's truncation
+    (clutter_removal.py:153-155) and therefore absent from the residual the
+    next bin's pass correlates against.
+    """
+    tails = rs_all[:, n - m + 1:]                      # rs_b[n-m+1 .. n-1]
+    r = np.arange(m - 1)[:, None]
+    j = np.arange(m)[None, :]
+    idx = np.clip(r - j + m - 1, 0, m - 2)
+    t = tails[:, jnp.asarray(idx)]
+    return jnp.where(jnp.asarray(j > r), t, 0)
+
+
+def _ls_multiple_segment(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
+                         sample_rate: float, doppler_bins=(0,),
+                         solver: str = "levinson") -> jnp.ndarray:
+    """Segment-Gram formulation of the sequential multi-bin Toeplitz LS.
+
+    Algebra: the sequential passes (reference clutter_removal.py:162-187)
+    are linear in the carried residual, so they unroll exactly into
+
+        taps_b = T_b⁻¹ (corr(srv, rs_b) - Σ_{a<b} M_{a,b} taps_a)
+        out    = srv - Σ_b trunc_n(conv(rs_b, taps_b))
+
+    with M_{a,b}[l, j] = G_{a,b}[l-j] - (T_bᴴ T_a)[l, j], where G is the
+    linear cross-correlation of the modulated references and the T terms
+    remove the convolution tail the truncation discards. Every correlation
+    (auto, cross, and against srv) is the segment-spectra Gram
+
+        corr_{a,b}[u] = ifft(Σ_s FFT(ext_a[s]) · conj(FFT(plain_b[s])))[u]
+
+    — one batched overlap-save FFT of all signals, one small einsum over
+    segments, and sliced inverse-DFT matmuls. Nothing runs at full chunk
+    length: the old path's four full-N transforms plus two zoom transforms
+    per bin become ~2.2·N·(nb+1) samples of segment-length MXU work, and the
+    per-bin sequential chain shrinks to m-sized matvecs and G-S solves.
+    The 5-bin reconstruction is one more segment-length inverse (overlap-
+    add). Matches the carry impl / float64 oracle to f32 round-off
+    (tests/test_clutter.py).
+    """
+    n = ref.shape[0]
+    peek = 10
+    m = filter_len + peek
+    nb = len(doppler_bins)
+    f, l, h, k = _segment_geometry(n, m)
+
+    rs_all = _modulated_refs(ref, n, peek, sample_rate, doppler_bins)
+
+    # segment spectra: ext rows for [srv, rs_0..rs_{nb-1}], plain for rs_b
+    srv_ext, _ = _seg_windows(srv, f, l, h, k)
+    exts, plains = [srv_ext], []
+    for b in range(nb):
+        e, p = _seg_windows(rs_all[b], f, l, h, k)
+        exts.append(e)
+        plains.append(p)
+    spec = _seg_fft(jnp.stack(exts + plains))          # (1+2nb, k, f)
+    e_spec = spec[:1 + nb]
+    p_spec = spec[1 + nb:]
+
+    # Gram over segments → every needed correlation spectrum at once
+    gram = jnp.einsum("akf,bkf->abf", e_spec, jnp.conj(p_spec),
+                      precision=jax.lax.Precision.HIGHEST)
+    if f <= 4096:
+        lags = dft_matmul(gram, axis=-1, inverse=True, out_len=m)
+    else:
+        lags = ifft_auto(gram, axis=-1)[..., :m]
+    cc0 = lags[0]                                      # (nb, m)
+    gpos = lags[1:]                                    # (nb, nb, m): G_{a,b}[u≥0]
+    ac_all = gpos[jnp.arange(nb), jnp.arange(nb)]      # (nb, m)
+
+    # vanishing diagonal guard (all-zero padding frames stay finite)
+    guard = 1e-25 * jnp.maximum(1.0, jnp.abs(ac_all[:, 0]))
+    ac_all = ac_all.at[:, 0].add(guard.astype(ac_all.dtype))
+    solve_xs, apply_inv = _solver_data(ac_all, m, solver)
+
+    # coupling matrices for the ordered pairs a (earlier) → b (later)
+    pairs = [(a, b) for b in range(nb) for a in range(b)]
+    if pairs:
+        ai = np.array([p[0] for p in pairs])
+        bi = np.array([p[1] for p in pairs])
+        # Toeplitz part from the two-sided lag vector
+        # v[d + m-1] = G_{a,b}[d],  G_{a,b}[-u] = conj(G_{b,a}[u])
+        neg = jnp.conj(jnp.flip(gpos[bi, ai, 1:], axis=-1))
+        v = jnp.concatenate([neg, gpos[ai, bi]], axis=-1)   # (np, 2m-1)
+        lj = np.arange(m)[:, None] - np.arange(m)[None, :] + m - 1
+        m_toep = v[:, jnp.asarray(lj)]                      # (np, m, m)
+        # truncation-tail correction  (T_bᴴ T_a)
+        t_all = _tail_matrices(rs_all, n, m)                # (nb, m-1, m)
+        m_tail = jnp.einsum("prl,prj->plj", jnp.conj(t_all[bi]), t_all[ai],
+                            precision=jax.lax.Precision.HIGHEST)
+        m_pair = m_toep - m_tail
+    pair_of = {ab: i for i, ab in enumerate(pairs)}
+
+    # the sequential chain: per bin, b matvecs + one G-S solve — all m-sized
+    taps = []
+    for b in range(nb):
+        cc = cc0[b]
+        for a in range(b):
+            cc = cc - m_pair[pair_of[(a, b)]] @ taps[a]
+        sd = tuple(x[b] for x in solve_xs)
+        taps.append(apply_inv(sd, cc).astype(jnp.complex64))
+
+    # reconstruction: one overlap-add inverse over the bin-summed spectra
+    taps_all = jnp.stack(taps)                              # (nb, m)
+    if f <= 4096:
+        taps_f = dft_matmul(taps_all, axis=-1, n=f)
+    else:
+        taps_f = fft_auto(jnp.pad(taps_all, ((0, 0), (0, f - m))), axis=-1)
+    clut_spec = jnp.einsum("bkf,bf->kf", p_spec, taps_f)
+    seg = _seg_ifft(clut_spec)                              # (k, f)
+    main = seg[:, :l].reshape(k * l)
+    tails = jnp.concatenate([seg[:, l:], jnp.zeros((k, l - h), seg.dtype)],
+                            axis=1).reshape(k * l)
+    clut = main + jnp.concatenate([jnp.zeros(l, seg.dtype), tails])[:k * l]
+    return (srv - clut[:n]).astype(jnp.complex64)
 
 
 def _circular_gram_and_rhs(ref, srv, filter_len: int, peek: int):
