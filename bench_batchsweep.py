@@ -1,9 +1,9 @@
 """Frame-batch sweep of the headline pipeline (dev diagnostic).
 
-Times process_frames at several frame-batch sizes to find the throughput
-knee: the pipeline has latency-bound pieces (the 184-step Levinson scan,
-small per-bin matvecs) whose cost is flat in the batch, so larger dispatch
-batches raise frames/s until VMEM/HBM pressure bites. Prints the best
+Times process_frames at several frame-batch sizes to locate the knee.
+Measured result (docs/PERFORMANCE.md dead-ends): batch 8 WINS — 8 → 410
+frames/s, 16 → 375, 32 → 338. The pipeline is HBM/arithmetic-bound, not
+latency-bound, so bigger live sets hurt rather than help. Prints the best
 batch's frames/s as the JSON metric; per-batch numbers go to stderr.
 """
 

@@ -87,9 +87,13 @@ def _mm(xr, xi, dr, di):
     3-multiplication (Karatsuba / zgemm3m) form: yr = m1 - m2 and
     yi = m3 - m1 - m2 with m1 = xr·dr, m2 = xi·di, m3 = (xr+xi)·(dr+di) —
     25% fewer MXU MACs than the textbook 4-matmul complex product for two
-    cheap VPU adds (dr+di is a compile-time constant fold). Accuracy for
-    DFT sums is within the same f32 round-off envelope as the 4-mult form
-    (|m1|,|m2| ~ |y|: no catastrophic growth), verified in test_mxufft.
+    cheap VPU adds (dr+di is a compile-time constant fold). Accuracy:
+    ABSOLUTE error for DFT sums stays in the same f32 round-off envelope
+    as the 4-mult form (|m1|,|m2| ~ |y|, no catastrophic growth), verified
+    in test_mxufft at absolute tolerances. RELATIVE error of individual
+    outputs whose imaginary (or real) part is small vs the cross terms —
+    e.g. near-real spectra — can be worse than 4-mult, since yi = m3-m1-m2
+    cancels; the pipeline only consumes these bins at f32 absolute scale.
     """
     ein = functools.partial(jnp.einsum, precision=PRECISION,
                             preferred_element_type=jnp.float32)
