@@ -91,6 +91,25 @@ def main():
             cfg.clutter_doppler_bins, solver="cholesky"))(r, s))
     timeit("clutter (5 bins, cholesky)", chol, ref_if, srv_if)
 
+    # segment-Gram vs frequency-domain-carry A/B, and the segment FFT-length
+    # sweep (SEGMENT_FFT_LEN is trace-time: fresh jit closure per value)
+    from passiveradar_tpu.ops import clutter as _cl
+
+    def _impl_fn(impl):
+        return jax.jit(lambda r, s: jax.vmap(
+            lambda rr, ss: ls_filter_multiple(
+                rr, ss, cfg.num_range_cells, cfg.IF_sample_rate,
+                cfg.clutter_doppler_bins, impl=impl))(r, s))
+
+    timeit("clutter impl=carry", _impl_fn("carry"), ref_if, srv_if)
+    for flen in (2048, 4096, 8192, 16384, 32768):
+        _cl.SEGMENT_FFT_LEN = flen
+        try:
+            timeit(f"clutter impl=segment f={flen}", _impl_fn("segment"),
+                   ref_if, srv_if)
+        finally:
+            _cl.SEGMENT_FFT_LEN = None
+
     m = cfg.num_range_cells + 10
 
     @jax.jit

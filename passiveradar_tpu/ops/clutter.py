@@ -398,17 +398,24 @@ def _solver_data(ac_all: jnp.ndarray, m: int, solver: str):
 def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
                        sample_rate: float, doppler_bins=(0,),
                        solver: str = "levinson",
-                       impl: str = "segment") -> jnp.ndarray:
+                       impl: str = "carry") -> jnp.ndarray:
     """Sequential per-Doppler-bin LS passes (reference clutter_removal.py:162-187).
 
     Nonzero bins frequency-shift the reference before filtering; the pipeline
     uses bins (0, 1, -1, 2, -2) Hz (reference main.py:174).
 
-    impl="segment" (default): the segment-Gram formulation — no full-length
-    transforms at all, every heavy step batched over bins (see
-    _ls_multiple_segment). impl="carry": the earlier frequency-domain
-    residual-carry formulation (per-bin spectra by integer spectrum rolls,
-    sequential lax.scan over bins); kept as an oracle/AB path.
+    impl="carry" (default, the production path): frequency-domain
+    residual-carry formulation — per-bin spectra assembled from two base
+    FFTs by integer spectrum rolls, sequential lax.scan over bins.
+    impl="segment": the segment-Gram formulation (_ls_multiple_segment) —
+    no full-length transforms, every heavy step batched over bins, and
+    uniformly exact for FRACTIONAL Doppler bins (no Taylor-ramp
+    approximation). MEASURED SLOWER on v5e at the FM geometry (bench_stages
+    2026-08-19: 19.8-20.7 ms/batch8 across segment FFT lengths 2048-8192 vs
+    carry's 13.6): the Gram needs ext+plain spectra per bin (2·nb+1
+    segment-FFT passes ≈ 2.2·N·(nb+1) transform samples), which outweighs
+    the full-length transforms it removes at nb=5. Kept as the exactness
+    oracle / the correct choice for fractional bins.
     """
     if impl == "segment":
         return _ls_multiple_segment(ref, srv, filter_len, sample_rate,
