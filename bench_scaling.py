@@ -10,6 +10,17 @@ On the single tunnelled v5e chip of the dev container it degenerates to the
 devices by the test suite and the driver's dryrun). On a pod slice, run one
 process per host; devices() spans the full slice.
 
+Multi-device counts run the PRODUCTION shard_map program
+(pipeline.process_frames_shmap — the path run_capture dispatches on a
+mesh), so the measured collectives are the real ones (4 ppermutes/step).
+
+``--validate-collectives``: reduced geometry for the 8-virtual-CPU-device
+mesh (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
+This is COLLECTIVE VALIDATION, not a performance measurement — virtual CPU
+"devices" share one slow host CPU, so efficiency numbers only prove the
+sharded program runs and stays correct per device count (the committed
+MULTIDEV_CPU.json artifact). Real scaling efficiency needs a pod slice.
+
 Prints one JSON line per device count:
   {"metric": "scaling_frames_per_s", "devices": D, "value": N,
    "unit": "frames/s", "efficiency": E}
@@ -20,6 +31,22 @@ import sys
 import time
 
 from bench_util import child_or_retry
+
+FM_GEOMETRY = dict(
+    input_sample_rate=2_400_000, input_center_freq=102_000_000,
+    channel_freq=101_900_000, channel_bandwidth=200_000,
+    cpi_seconds_nominal=2.0, max_doppler_nominal=256.0,
+    max_range_nominal=200.0, overlap_cpi=True, num_frames=10_000,
+)
+
+# tiny geometry for --validate-collectives on virtual CPU devices (the
+# test suite's 16384-sample-CPI configuration)
+TINY_GEOMETRY = dict(
+    input_sample_rate=49152, input_center_freq=1_000_000,
+    channel_freq=990_170, channel_bandwidth=12800,
+    cpi_seconds_nominal=1.0, max_doppler_nominal=128.0,
+    max_range_nominal=400.0, overlap_cpi=True, num_frames=10_000,
+)
 
 
 def main():
@@ -32,15 +59,13 @@ def main():
     from passiveradar_tpu.config import derive_config
     from passiveradar_tpu.io.synthetic import Target, synth_capture_device
     from passiveradar_tpu.parallel.mesh import frame_sharding, make_mesh
-    from passiveradar_tpu.pipeline import frame_phases, process_frames
+    from passiveradar_tpu.pipeline import (frame_phases, process_frames,
+                                           process_frames_shmap)
 
-    params = dict(
-        input_sample_rate=2_400_000, input_center_freq=102_000_000,
-        channel_freq=101_900_000, channel_bandwidth=200_000,
-        cpi_seconds_nominal=2.0, max_doppler_nominal=256.0,
-        max_range_nominal=200.0, overlap_cpi=True, num_frames=10_000,
-    )
-    cfg = derive_config(params)
+    validate = "--validate-collectives" in sys.argv
+    cfg = derive_config(TINY_GEOMETRY if validate else FM_GEOMETRY)
+    metric = ("scaling_collective_validation_frames_per_s" if validate
+              else "scaling_frames_per_s")
     frames_per_device = 8
     summ = jax.jit(lambda x, a: a + jnp.sum(jnp.abs(x)))
 

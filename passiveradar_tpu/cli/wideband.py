@@ -24,6 +24,9 @@ def main(argv=None):
     p = parser("PASSIVE RADAR - WIDEBAND MULTI-ILLUMINATOR PROCESSING")
     p.add_argument("--batch-frames", type=int, default=None,
                    help="CPIs per device dispatch (default: cfg.frame_batch)")
+    p.add_argument("--shard", action="store_true",
+                   help="Shard the selected-channel axis across all local "
+                        "devices (channel count must divide the device count)")
     args = p.parse_args(argv)
     cfg = load(args)
     if cfg.wideband_channels < 2:
@@ -34,9 +37,15 @@ def main(argv=None):
           f"{cfg.IF_sample_rate / 1e3:.1f} kHz; processing channels "
           f"{list(cfg.wideband_channel_select)}")
 
+    mesh = None
+    if args.shard:
+        from passiveradar_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(axis_name="channels")
+
     reader = CaptureReader(cfg)
     t0 = time.time()
-    n = run_wideband_capture(reader, cfg, batch_frames=args.batch_frames)
+    n = run_wideband_capture(reader, cfg, batch_frames=args.batch_frames,
+                             mesh=mesh)
     write_metadata(cfg, n)
     dt = time.time() - t0
     paths = ", ".join(channel_path(cfg, k)

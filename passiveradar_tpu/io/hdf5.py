@@ -202,9 +202,9 @@ class PrefetchReader:
         self.num_frames = reader.num_frames
         self._q: queue.Queue = queue.Queue(maxsize=2)
         self._batches = list(batches)
-        self._read = {"iq": reader.read_iq_frames,
-                      "pair": getattr(reader, "read_pair_frames", None),
-                      "raw": reader.read_raw_frames}[mode]
+        self._read = getattr(reader, {"iq": "read_iq_frames",
+                                      "pair": "read_pair_frames",
+                                      "raw": "read_raw_frames"}[mode])
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 

@@ -52,22 +52,54 @@ MAX_KW = 3
 # matmul precision for the kernel contraction. Module-level so benchmarks
 # can A/B it (bench_resample_prec.py): HIGHEST = bf16x6 passes, HIGH =
 # bf16x3 at half the MXU work — see the measured speed/accuracy trade in
-# docs/PERFORMANCE.md before changing the default.
+# docs/PERFORMANCE.md before changing the default. NOTE: read at TRACE
+# time — jit caches keep the old value, so an override only takes effect
+# after jax.clear_caches() (bench_resample_prec.py does this).
 PRECISION = jax.lax.Precision.HIGHEST
+
+
+# trace-time flag: True while tracing inside a shard_map manual region
+# (pipeline._shmap_program), where every array is already the per-device
+# block and a Mosaic custom call is legal regardless of mesh size
+_IN_MANUAL_REGION = False
+
+
+class manual_region:
+    """Context manager marking a shard_map manual-region trace.
+
+    Inside it use_pallas_resample() ignores the device count: the SPMD
+    partitioner never sees the kernel (shard_map bodies are per-device
+    programs), so the single-device-only guard does not apply.
+    """
+
+    def __enter__(self):
+        global _IN_MANUAL_REGION
+        self._prev = _IN_MANUAL_REGION
+        _IN_MANUAL_REGION = True
+
+    def __exit__(self, *exc):
+        global _IN_MANUAL_REGION
+        _IN_MANUAL_REGION = self._prev
+        return False
 
 
 def use_pallas_resample() -> bool:
     """Route the resampler bulk through the Pallas kernel? (trace-time).
 
-    Default: single-device TPU only. Under a multi-device mesh the frame
-    axis is sharded and XLA's SPMD partitioner does not split custom
-    (Mosaic) calls along it, so sharded programs keep the einsum path —
-    same math, automatically partitionable.
+    Default: TPU backend, and either a single device or a shard_map manual
+    region (see manual_region). Under a multi-device AUTO-sharded mesh the
+    frame axis is sharded and XLA's SPMD partitioner does not split custom
+    (Mosaic) calls along it, so auto-sharded programs keep the einsum path —
+    same math, automatically partitionable; the production multi-chip
+    pipeline (pipeline.process_frames_shmap / run_capture(sharding=...))
+    is a manual region, so it keeps the kernel.
     """
     env = os.environ.get("PASSIVERADAR_PALLAS_RESAMPLE")
     if env is not None:
         return env not in ("0", "", "false")
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or _IN_MANUAL_REGION
 
 
 def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int):

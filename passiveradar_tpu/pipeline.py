@@ -39,8 +39,7 @@ def _deinterleave_batch(raw: jnp.ndarray) -> jnp.ndarray:
     return (raw[:, 0::2] + 1j * raw[:, 1::2]).astype(jnp.complex64)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
+def _preprocess_impl(raw: jnp.ndarray, phases: jnp.ndarray,
                      cfg: RadarConfig) -> jnp.ndarray:
     """Deinterleave → down-convert → resample one channel's frame batch.
 
@@ -84,8 +83,10 @@ def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
     return resampled
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def clutter_batch(ref: jnp.ndarray, srv: jnp.ndarray,
+preprocess_batch = jax.jit(_preprocess_impl, static_argnames=("cfg",))
+
+
+def _clutter_impl(ref: jnp.ndarray, srv: jnp.ndarray,
                   cfg: RadarConfig) -> jnp.ndarray:
     """Clutter cancellation over a frame batch.
 
@@ -111,6 +112,9 @@ def clutter_batch(ref: jnp.ndarray, srv: jnp.ndarray,
     return jax.vmap(fn)(ref, srv)
 
 
+clutter_batch = jax.jit(_clutter_impl, static_argnames=("cfg",))
+
+
 def _caf_windowed(ref_ov: jnp.ndarray, srv_ov: jnp.ndarray,
                   cfg: RadarConfig) -> jnp.ndarray:
     """Windowed CAF of already halo-extended frames."""
@@ -122,9 +126,8 @@ def _caf_windowed(ref_ov: jnp.ndarray, srv_ov: jnp.ndarray,
     return jax.vmap(fn)(ref_ov, srv_ov)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
-              cfg: RadarConfig) -> jnp.ndarray:
+def _caf_batch_impl(ref: jnp.ndarray, srv_clean: jnp.ndarray,
+                    cfg: RadarConfig) -> jnp.ndarray:
     """Halo-overlap + windowed CAF over a frame batch.
 
     ref/srv_clean: (F, output_chunk_length). Returns (F, num_doppler_cells,
@@ -136,6 +139,9 @@ def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
     return _caf_windowed(ref, srv_clean, cfg)
 
 
+caf_batch = jax.jit(_caf_batch_impl, static_argnames=("cfg",))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
                    phases: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
@@ -144,10 +150,58 @@ def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     # NOTE: preprocessing both channels as one concatenated 2F-frame batch
     # was measured SLOWER (391 vs 410 frames/s): the concat materialises a
     # ~300 MB copy of the raw IQ before the resampler kernel.
-    ref = preprocess_batch(raw_ref, phases, cfg)
-    srv = preprocess_batch(raw_srv, phases, cfg)
-    srv_clean = clutter_batch(ref, srv, cfg)
-    return caf_batch(ref, srv_clean, cfg)
+    ref = _preprocess_impl(raw_ref, phases, cfg)
+    srv = _preprocess_impl(raw_srv, phases, cfg)
+    srv_clean = _clutter_impl(ref, srv, cfg)
+    return _caf_batch_impl(ref, srv_clean, cfg)
+
+
+@functools.lru_cache(maxsize=16)
+def _shmap_program(cfg: RadarConfig, mesh, axis_name: str, pallas: bool):
+    """Build (and cache) the jitted shard_map pipeline for one (cfg, mesh).
+
+    Cached so run_capture's per-batch calls reuse one compiled program (a
+    fresh jax.jit per call would retrace every batch). ``pallas`` is part of
+    the key because it is a trace-time routing decision
+    (ops/resample_pallas.use_pallas_resample) that must invalidate the cache
+    when the env override changes between calls.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from passiveradar_tpu.ops.resample_pallas import manual_region
+    from passiveradar_tpu.parallel.halo import local_overlap
+
+    n = mesh.shape[axis_name]
+
+    def local(r, s, p):
+        # manual_region: trace-time flag → the per-device Pallas resampler
+        # stays on the hot path (the body is a per-device program, so the
+        # SPMD-partitioner restriction on custom calls does not apply)
+        with manual_region():
+            ref = _preprocess_impl(r, p, cfg)
+            srv = _preprocess_impl(s, p, cfg)
+        srv_clean = _clutter_impl(ref, srv, cfg)
+        if cfg.window_overlap:
+            ref = local_overlap(ref, cfg.window_overlap, n, axis_name)
+            srv_clean = local_overlap(srv_clean, cfg.window_overlap, n,
+                                      axis_name)
+        return _caf_windowed(ref, srv_clean, cfg)
+
+    # check_vma=False: Pallas custom calls (the resampler kernel) declare
+    # their out_shape without varying-mesh-axes metadata, which the vma
+    # checker rejects inside a manual region; every stage here is purely
+    # frame-local, so the check adds nothing.
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                       out_specs=P(axis_name), check_vma=False)
+    return jax.jit(fn)
+
+
+def _pallas_decision() -> bool:
+    """What use_pallas_resample() will return inside the manual region."""
+    from passiveradar_tpu.ops import resample_pallas
+    with resample_pallas.manual_region():
+        return resample_pallas.use_pallas_resample()
 
 
 def process_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
@@ -158,41 +212,17 @@ def process_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     Equivalent to process_frames with the frame axis sharded over ``mesh``,
     but written as a manual SPMD program: every stage runs on the device's
     local frame block and the only cross-device traffic is the CPI-overlap
-    halo (one lax.ppermute pair per channel over ICI). Two uses:
-
-    * manual control of the collective schedule (vs trusting the SPMD
-      partitioner to lower overlap_frames' rolls well), and
-    * Pallas kernels: Mosaic custom calls don't auto-partition, so the
-      sharded auto path falls back to the einsum resampler —
-      inside this manual region the per-device Pallas path is legal
-      (opt in with PASSIVERADAR_PALLAS_RESAMPLE=1 on a mesh).
+    halo (one lax.ppermute pair per channel over ICI — exactly 4 collective
+    permutes per step, asserted in test_pipeline). This is the production
+    multi-chip path: run_capture(sharding=...) and cli.process --shard
+    route through it, and the Pallas resampler kernel stays on the hot path
+    (per-device programs may contain Mosaic custom calls; the auto-pjit
+    path cannot split them along the sharded frame axis).
 
     The frame axis must divide the mesh. Returns globally-sharded maps.
     """
-    from jax.sharding import PartitionSpec as P
-
-    from passiveradar_tpu.parallel.halo import local_overlap
-
-    n = mesh.shape[axis_name]
-
-    def local(r, s, p):
-        ref = preprocess_batch(r, p, cfg)
-        srv = preprocess_batch(s, p, cfg)
-        srv_clean = clutter_batch(ref, srv, cfg)
-        if cfg.window_overlap:
-            ref = local_overlap(ref, cfg.window_overlap, n, axis_name)
-            srv_clean = local_overlap(srv_clean, cfg.window_overlap, n,
-                                      axis_name)
-        return _caf_windowed(ref, srv_clean, cfg)
-
-    # check_vma=False: Pallas custom calls (the opt-in resampler kernel)
-    # declare their out_shape without varying-mesh-axes metadata, which the
-    # vma checker rejects inside a manual region; every stage here is
-    # purely frame-local, so the check adds nothing.
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-                       out_specs=P(axis_name), check_vma=False)
-    return jax.jit(fn)(raw_ref, raw_srv, phases)
+    fn = _shmap_program(cfg, mesh, axis_name, _pallas_decision())
+    return fn(raw_ref, raw_srv, phases)
 
 
 def frame_phases(cfg: RadarConfig, frame_indices: Sequence[int]) -> np.ndarray:
@@ -202,6 +232,19 @@ def frame_phases(cfg: RadarConfig, frame_indices: Sequence[int]) -> np.ndarray:
         n, cfg.input_chunk_length // 2, cfg.offset_freq,
         cfg.input_sample_rate)
     return all_phases[np.asarray(frame_indices)]
+
+
+def capture_frame_count(reader, cfg: RadarConfig) -> int:
+    """Frames a run over ``reader`` will produce (size writers with this).
+
+    min(capture frames, cfg.num_frames), minus one when
+    cfg.strict_frame_parity replicates the reference's final-chunk trim
+    (main.py:116-120: min(N_chunks, num_frames) - 1).
+    """
+    total = min(reader.num_frames, cfg.num_frames)
+    if cfg.strict_frame_parity and total > 0:
+        total -= 1
+    return total
 
 
 def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = None,
@@ -218,7 +261,7 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     """
     from passiveradar_tpu.io.hdf5 import PrefetchReader
 
-    total = min(reader.num_frames, cfg.num_frames)
+    total = capture_frame_count(reader, cfg)
     bf = batch_frames or cfg.frame_batch
 
     # Sharded readers (multi-host) expose one frame of margin into the
@@ -227,6 +270,11 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     margin_lo = bool(getattr(reader, "frame_margin_before", False))
     margin_hi = (bool(getattr(reader, "frame_margin_after", False))
                  or total < reader.num_frames)
+    if cfg.strict_frame_parity:
+        # reference semantics (main.py:116-120 then 180-181): the stack is
+        # trimmed to N-1 frames FIRST, then overlapped with boundary=0 — the
+        # kept final frame's right halo is zero, not the trimmed frame's data
+        margin_hi = bool(getattr(reader, "frame_margin_after", False))
     frame0 = int(getattr(reader, "frame_offset", 0))
 
     # Every dispatch uses ONE fixed shape of bf+2 frames — a one-frame halo
@@ -259,9 +307,17 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     # dispatch buffer: bf+2 frames, rounded up to the device count so the
     # sharded frame axis always divides the mesh
     buf_n = bf + 2
+    shmap_mesh = shmap_axis = None
     if sharding is not None:
         ndev = len(sharding.device_set)
         buf_n = -(-buf_n // ndev) * ndev
+        # production multi-chip path: a 1-D frame mesh routes through the
+        # explicit-collective shard_map program (ppermute halos, Pallas
+        # resampler legal per-device); other shardings fall back to auto-pjit
+        from jax.sharding import NamedSharding
+        if isinstance(sharding, NamedSharding) and len(sharding.mesh.shape) == 1:
+            shmap_axis = next(iter(sharding.mesh.shape))
+            shmap_mesh = sharding.mesh
     done = getattr(writer, "frames_done", 0)
     for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
             batches, prefetch):
@@ -285,10 +341,16 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
 
         ref_d = jnp.asarray(buf_ref)
         srv_d = jnp.asarray(buf_srv)
+        ph_d = jnp.asarray(phases)
         if sharding is not None:
             ref_d = jax.device_put(ref_d, sharding)
             srv_d = jax.device_put(srv_d, sharding)
-        maps = process_frames(ref_d, srv_d, jnp.asarray(phases), cfg)
+            ph_d = jax.device_put(ph_d, sharding)
+        if shmap_mesh is not None:
+            maps = process_frames_shmap(ref_d, srv_d, ph_d, cfg,
+                                        shmap_mesh, shmap_axis)
+        else:
+            maps = process_frames(ref_d, srv_d, ph_d, cfg)
         # slots 1..1+count hold the valid frames (margins/padding dropped);
         # to_host_complex: some remote backends cannot fetch complex directly
         maps = to_host_complex(maps)[1:1 + count]

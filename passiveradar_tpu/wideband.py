@@ -83,6 +83,25 @@ def channel_path(cfg: RadarConfig, k: int) -> str:
     return f"{cfg.output_fname}.ch{k}.{cfg.range_doppler_map_ftype}"
 
 
+def _to_complex(x: jnp.ndarray) -> jnp.ndarray:
+    """(…, 2) float32 IQ pairs → complex64 (complex input passes through)."""
+    if jnp.iscomplexobj(x):
+        return x
+    return jax.lax.complex(x[..., 0], x[..., 1]).astype(jnp.complex64)
+
+
+def _wideband_channel_chain(cfg: RadarConfig, win_j):
+    """Per-channel clutter + CAF closure shared by all wideband paths."""
+    def per_channel(rc, sc):
+        clean = ls_filter_multiple(rc, sc, cfg.num_range_cells,
+                                   cfg.IF_sample_rate,
+                                   cfg.clutter_doppler_bins)
+        return fast_xambg(rc, clean, cfg.num_range_cells,
+                          cfg.num_doppler_cells, window=win_j,
+                          short_filt=cfg.caf_short_filt)
+    return per_channel
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def wideband_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
                     cfg: RadarConfig) -> jnp.ndarray:
@@ -93,43 +112,89 @@ def wideband_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     CPIs are non-overlapping, config._derive_wideband). Returns
     (F, len(select), num_doppler_cells, num_range_cells+1) complex64.
     """
-    def to_c(x):
-        if jnp.iscomplexobj(x):
-            return x
-        return jax.lax.complex(x[..., 0], x[..., 1]).astype(jnp.complex64)
-
     win = resolve_window(cfg.caf_window, cfg.cpi_samples)
     win_j = None if win is None else jnp.asarray(win)
     select = jnp.asarray(np.asarray(cfg.wideband_channel_select, np.int32))
+    per_channel = _wideband_channel_chain(cfg, win_j)
 
     def per_frame(r, s):
         refc, srvc = channelize_pair(r, s, cfg.wideband_channels,
                                      taps_per_branch=cfg.wideband_taps_per_branch)
         refc = refc.T[select]                # (S, cpi_samples)
         srvc = srvc.T[select]
-
-        def per_channel(rc, sc):
-            clean = ls_filter_multiple(rc, sc, cfg.num_range_cells,
-                                       cfg.IF_sample_rate,
-                                       cfg.clutter_doppler_bins)
-            return fast_xambg(rc, clean, cfg.num_range_cells,
-                              cfg.num_doppler_cells, window=win_j,
-                              short_filt=cfg.caf_short_filt)
-
         return jax.vmap(per_channel)(refc, srvc)
 
-    return jax.vmap(per_frame)(to_c(raw_ref), to_c(raw_srv))
+    return jax.vmap(per_frame)(_to_complex(raw_ref), _to_complex(raw_srv))
+
+
+@functools.lru_cache(maxsize=8)
+def _wideband_shmap_program(cfg: RadarConfig, mesh, axis_name: str):
+    """Jitted shard_map wideband pipeline: channels → mesh axis.
+
+    The per-illuminator ("expert") parallel axis of SURVEY §2.3: each device
+    channelizes the (replicated) wideband CPI — the polyphase channelizer is
+    ~one fused elementwise pass, cheap next to the per-channel clutter+CAF
+    chains — then runs ONLY its own block of selected channels. No
+    collectives on the hot path; the output concatenates over the channel
+    axis. Cached so repeated batch dispatches reuse one compiled program.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    select = np.asarray(cfg.wideband_channel_select, np.int32)
+    s_total = len(select)
+    if s_total % n:
+        raise ValueError(
+            f"wideband_frames_shmap: {s_total} selected channels do not "
+            f"divide the {n}-device '{axis_name}' mesh axis")
+    s_local = s_total // n
+    win = resolve_window(cfg.caf_window, cfg.cpi_samples)
+    per_channel_of = _wideband_channel_chain
+
+    def local(r, s):
+        win_j = None if win is None else jnp.asarray(win)
+        per_channel = per_channel_of(cfg, win_j)
+        sel = jnp.asarray(select)
+        idx = jax.lax.axis_index(axis_name)
+        my_sel = jax.lax.dynamic_slice_in_dim(sel, idx * s_local, s_local)
+
+        def per_frame(rr, ss):
+            refc, srvc = channelize_pair(
+                rr, ss, cfg.wideband_channels,
+                taps_per_branch=cfg.wideband_taps_per_branch)
+            return jax.vmap(per_channel)(refc.T[my_sel], srvc.T[my_sel])
+
+        return jax.vmap(per_frame)(_to_complex(r), _to_complex(s))
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(None, axis_name), check_vma=False)
+    return jax.jit(fn)
+
+
+def wideband_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
+                          cfg: RadarConfig, mesh,
+                          axis_name: str = "channels") -> jnp.ndarray:
+    """wideband_frames with the selected-channel axis sharded over ``mesh``.
+
+    Equality with the single-device vmap path is tested on a CPU mesh
+    (tests/test_wideband.py) and compile-validated by dryrun_multichip.
+    The number of selected channels must divide the mesh axis.
+    """
+    return _wideband_shmap_program(cfg, mesh, axis_name)(raw_ref, raw_srv)
 
 
 def run_wideband_capture(reader, cfg: RadarConfig,
                          batch_frames: int | None = None,
                          writers: dict | None = None,
-                         progress: bool = True) -> int:
+                         progress: bool = True, mesh=None,
+                         axis_name: str = "channels") -> int:
     """Host loop: stream a wideband capture into per-channel map stacks.
 
     ``writers``: {channel_index: MapWriter-like} (default: one MapWriter per
     selected channel at channel_path(cfg, k)). Every dispatch uses one fixed
     shape (zero-padded final batch) so exactly one XLA program compiles.
+    ``mesh``: optional 1-D device mesh — the selected-channel axis shards
+    over it via wideband_frames_shmap (the per-illuminator parallel axis).
     """
     from passiveradar_tpu.io.hdf5 import PrefetchReader
     from passiveradar_tpu.io.writers import MapWriter
@@ -152,8 +217,13 @@ def run_wideband_capture(reader, cfg: RadarConfig,
         buf_srv = np.zeros((bf, lc, 2), np.float32)
         buf_ref[:count] = ref_raw.view(np.float32).reshape(count, lc, 2)
         buf_srv[:count] = srv_raw.view(np.float32).reshape(count, lc, 2)
-        maps = wideband_frames(jnp.asarray(buf_ref), jnp.asarray(buf_srv),
-                               cfg)
+        if mesh is not None:
+            maps = wideband_frames_shmap(jnp.asarray(buf_ref),
+                                         jnp.asarray(buf_srv), cfg,
+                                         mesh, axis_name)
+        else:
+            maps = wideband_frames(jnp.asarray(buf_ref),
+                                   jnp.asarray(buf_srv), cfg)
         maps = to_host_complex(maps)[:count]     # (count, S, nf, R+1)
         for i, k in enumerate(select):
             writers[k].write(maps[:, i], start)

@@ -412,3 +412,94 @@ def test_shmap_pipeline_matches_single_device(tiny_cfg, monkeypatch):
     monkeypatch.setenv("PASSIVERADAR_PALLAS_RESAMPLE", "1")
     got_pl = np.asarray(process_frames_shmap(ref_s, srv_s, ph_s, cfg, mesh))
     assert np.max(np.abs(got_pl - single)) < 1e-3 * scale
+
+
+def test_strict_frame_parity_matches_reference_trim(tiny_cfg, tmp_path):
+    """strict_frame_parity replicates the reference's final-chunk trim
+    (main.py:116-120): one fewer output frame, and the kept final frame's
+    right halo is ZERO (trim happens before the boundary=0 overlap) — i.e.
+    the run equals a default run over the capture physically truncated by
+    one frame."""
+    import dataclasses
+    import h5py
+    cfg = tiny_cfg
+    cfg_s = dataclasses.replace(cfg, strict_frame_parity=True)
+    p5 = str(tmp_path / "cap5.hdf5")
+    # the synth writer emits n+1 chunks → this file holds 6 whole frames
+    write_synth_capture(p5, cfg, 5, targets=(Target(40, 20.0, 0.1),))
+    # byte-exact 5-frame truncation of the same capture
+    p4 = str(tmp_path / "cap4.hdf5")
+    n4 = 5 * cfg.input_chunk_length
+    with h5py.File(p5) as src, h5py.File(p4, "w") as dst:
+        dst.create_dataset(cfg.input_ref_path, data=src[cfg.input_ref_path][:n4])
+        dst.create_dataset(cfg.input_srv_path, data=src[cfg.input_srv_path][:n4])
+
+    def run(cfg_x, path, out):
+        r = CaptureReader(cfg_x, path, estimate_offset=False)
+        from passiveradar_tpu.pipeline import capture_frame_count
+        total = capture_frame_count(r, cfg_x)
+        w = MapWriter(cfg_x, total, str(tmp_path / out))
+        run_capture(r, w, cfg_x, batch_frames=3, progress=False)
+        w.close()
+        r.close()
+        with h5py.File(str(tmp_path / out)) as f:
+            return np.asarray(f["/xambg"])
+
+    strict = run(cfg_s, p5, "strict.hdf5")
+    default6 = run(cfg, p5, "default6.hdf5")
+    default5 = run(cfg, p4, "default5.hdf5")
+    assert default6.shape[2] == 6 and strict.shape[2] == 5
+    scale = np.max(np.abs(default5))
+    assert np.max(np.abs(strict - default5)) < 1e-4 * scale
+    # ...and differs from naive truncation of the 6-frame run in the final
+    # frame (whose right halo there is frame 5's real data, not zero)
+    assert np.max(np.abs(strict[:, :, 4] - default6[:, :, 4])) > 1e-3 * scale
+
+
+def test_shmap_program_emits_exactly_four_ppermutes(tiny_cfg):
+    """HLO-level scaling contract: the explicit-collective pipeline's only
+    cross-device traffic is the CPI-overlap halo — one ppermute pair per
+    channel, so exactly 4 collective-permutes in the whole compiled step
+    (the ≥80%-scaling-efficiency BASELINE proxy: everything else is local)."""
+    import re
+
+    from passiveradar_tpu.pipeline import _pallas_decision, _shmap_program
+
+    cfg = tiny_cfg
+    n_frames = 8
+    mesh = make_mesh(8)
+    fn = _shmap_program(cfg, mesh, "frames", _pallas_decision())
+    lc = cfg.input_chunk_length // 2
+    ref = jnp.zeros((n_frames, lc, 2), jnp.float32)
+    ph = jnp.zeros((n_frames,), jnp.float32)
+    hlo = fn.lower(ref, ref, ph).compile().as_text()
+    # count distinct collective-permute ops (async pairs count once)
+    starts = re.findall(r"collective-permute-start", hlo)
+    plain = re.findall(r"= \S+ collective-permute\(", hlo)
+    count = len(starts) if starts else len(plain)
+    assert count == 4, f"expected 4 collective-permutes, found {count}"
+
+
+def test_run_capture_sharded_routes_through_shmap(tiny_cfg, tmp_path,
+                                                  monkeypatch):
+    """run_capture(sharding=1-D NamedSharding) must use the explicit-
+    collective shard_map program (the production multi-chip path), never
+    the auto-pjit process_frames."""
+    import passiveradar_tpu.pipeline as pl
+
+    cfg = tiny_cfg
+    path = str(tmp_path / "cap_rt.hdf5")
+    write_synth_capture(path, cfg, 4, targets=(Target(40, 20.0, 0.1),))
+    reader = CaptureReader(cfg, path, estimate_offset=False)
+    total = min(reader.num_frames, cfg.num_frames)
+
+    def boom(*a, **k):
+        raise AssertionError("auto-pjit path used under a frame mesh")
+
+    monkeypatch.setattr(pl, "process_frames", boom)
+    w = MapWriter(cfg, total, str(tmp_path / "maps_rt.hdf5"))
+    n = run_capture(reader, w, cfg, batch_frames=4,
+                    sharding=frame_sharding(make_mesh(8)), progress=False)
+    w.close()
+    reader.close()
+    assert n == total

@@ -129,6 +129,49 @@ def test_wideband_streaming_matches_offline(tmp_path, rng):
             assert res.tracks["status"].shape == (4,)
 
 
+def test_wideband_shmap_matches_vmap(tmp_path, rng):
+    """Channel-axis shard_map path (SURVEY §2.3's per-illuminator/'expert'
+    mesh axis) must equal the single-device vmap path, via both
+    wideband_frames_shmap directly and run_wideband_capture(mesh=...)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from passiveradar_tpu.wideband import wideband_frames_shmap
+
+    params, cfg = _wb_cfg(tmp_path)
+    ref, srv = _wb_signals(cfg, 2, rng)
+    n = cfg.cpi_samples * cfg.wideband_channels
+    r2 = ref.reshape(2, n)
+    s2 = srv.reshape(2, n)
+    want = np.asarray(wideband_frames(r2, s2, cfg))
+    scale = np.max(np.abs(want))
+
+    # 2 selected channels over a 2-device mesh
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("channels",))
+    got = np.asarray(wideband_frames_shmap(r2, s2, cfg, mesh))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-4 * scale
+
+    # channel count must divide the mesh axis
+    mesh3 = Mesh(np.asarray(jax.devices()[:3]), ("channels",))
+    with pytest.raises(ValueError):
+        wideband_frames_shmap(r2, s2, cfg, mesh3)
+
+    # the host loop takes the same path end-to-end
+    with h5py.File(params["input_file"], "w") as f:
+        f.create_dataset("/data/ref", data=ref.view(np.float32))
+        f.create_dataset("/data/srv", data=srv.view(np.float32))
+    from passiveradar_tpu.io.hdf5 import CaptureReader
+    reader = CaptureReader(cfg, estimate_offset=False)
+    run_wideband_capture(reader, cfg, progress=False, mesh=mesh)
+    reader.close()
+    for i, ch in enumerate((1, 2)):
+        with h5py.File(channel_path(cfg, ch)) as f:
+            stack = np.asarray(f["/xambg"])       # (nf, r+1, frames)
+        got_ch = np.transpose(stack, (2, 0, 1))
+        assert np.max(np.abs(got_ch - want[:, i])) < 1e-4 * scale
+
+
 def _cnoise(rng, n):
     return (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
 
