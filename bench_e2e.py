@@ -140,6 +140,20 @@ def main():
     writer.close()
     reader.close()
 
+    # capture -> range-Doppler VIDEO leg (the reference's full headline
+    # sentence, range_doppler_plot.py:35-107): streamed CFAR + persistence +
+    # render — mp4 via ffmpeg, PNG frames otherwise. Timed separately so the
+    # Msamples/s metric stays comparable across rounds.
+    from passiveradar_tpu.cli.plot import LazyCFAR
+    from passiveradar_tpu.io.writers import AbsMapStack
+    from passiveradar_tpu.viz.render import has_ffmpeg, render_video
+
+    t0 = time.time()
+    with AbsMapStack(cfg, OUT) as stack:
+        render_video(LazyCFAR(stack), cfg,
+                     os.path.join(DATA_DIR, "e2e_video.mp4"))
+    render_wall = time.time() - t0
+
     in_samples = total * (cfg.input_chunk_length // 2) * 2   # both channels
     msps = in_samples / wall / 1e6
     gb = 2 * os.path.getsize(CAPTURE) / FRAMES * total / 1e9 / 2
@@ -152,6 +166,11 @@ def main():
     print(f"# disk-to-disk: {total} frames in {wall:.1f}s "
           f"({total / wall:.1f} frames/s, {gb / wall:.2f} GB/s ingest, "
           f"offset={reader.offset})", file=sys.stderr)
+    print(f"# capture->video total {wall + render_wall:.1f}s: maps {wall:.1f}s"
+          f" + render {render_wall:.1f}s "
+          f"({'mp4' if has_ffmpeg() else 'PNG frames (no ffmpeg)'}, "
+          f"{total / render_wall:.1f} frames/s rendered, streamed CFAR + "
+          f"persistence)", file=sys.stderr)
 
 
 if __name__ == "__main__":

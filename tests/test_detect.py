@@ -150,7 +150,8 @@ def test_multitarget_tracker_confirms_and_follows(rng):
         d = 8.0
         frames[t] = _frame_with_target(rng, nf, nr, r, d, d_ext, r_ext)
         truth.append((r, d))
-    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=5, k_max=64)
+    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=5, k_max=64,
+                               frames_last=False)
     status = np.asarray(hist["status"])          # (F, N)
     est = np.asarray(hist["estimate"])           # (F, N, 2)
     assert np.any(status[-1] == 2), "no confirmed track at the end"
@@ -168,7 +169,8 @@ def test_multitarget_tracker_two_targets(rng):
         f = _frame_with_target(rng, nf, nr, 70.0, 12.0, d_ext, r_ext)
         f2 = _frame_with_target(rng, nf, nr, 30.0, -15.0, d_ext, r_ext)
         frames[t] = np.maximum(f, f2)
-    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=6, k_max=64)
+    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=6, k_max=64,
+                               frames_last=False)
     status = np.asarray(hist["status"])
     est = np.asarray(hist["estimate"])
     confirmed = np.where(status[-1] == 2)[0]
@@ -185,6 +187,22 @@ def test_multitarget_tracker_accepts_reference_layout(rng):
     assert np.asarray(hist["status"]).shape == (n_frames, 3)
 
 
+def test_ambiguous_orientation_is_an_error(rng):
+    """A frame count rivaling the map dimensions must raise, not silently
+    guess (a wrong orientation produces garbage tracks)."""
+    frames = rng.random((50, 64, 40)).astype(np.float32)
+    with pytest.raises(ValueError, match="frames_last"):
+        multitarget_tracker(frames, (32.0, 100.0), n_tracks=3, k_max=32)
+    # ...and the reference FM geometry itself is ambiguous by this rule
+    ref_shape = rng.random((64, 11, 75)).astype(np.float32)
+    with pytest.raises(ValueError, match="frames_last"):
+        simple_target_tracker(ref_shape, 100.0, 32.0)
+    # explicit orientation always works
+    hist = multitarget_tracker(frames, (32.0, 100.0), n_tracks=3, k_max=32,
+                               frames_last=False)
+    assert np.asarray(hist["status"]).shape == (50, 3)
+
+
 def test_simple_tracker_locks_onto_target(rng):
     nf, nr, n_frames = 64, 48, 30
     d_ext, r_ext = 32.0, 100.0
@@ -192,7 +210,7 @@ def test_simple_tracker_locks_onto_target(rng):
     for t in range(n_frames):
         frames[t] = _frame_with_target(rng, nf, nr, 50.0, 6.0, d_ext, r_ext,
                                        amp=100.0)
-    hist = simple_target_tracker(frames, r_ext, d_ext)
+    hist = simple_target_tracker(frames, r_ext, d_ext, frames_last=False)
     lock = np.asarray(hist["lock_mode"])       # (F, 4)
     meas = np.asarray(hist["measurement"])     # (F, 2)
     assert lock[-1, 2] == 1, "tracker failed to reach the locked state"
@@ -227,6 +245,37 @@ def test_persistence_stack_matches_single(rng):
         assert np.allclose(stack[k], want, rtol=1e-5, atol=1e-6)
 
 
+def test_streaming_display_frames_exact(rng):
+    """iter_display_frames (bounded-memory renderer path) must reproduce the
+    materialised prepare_display_frames exactly at every chunk size,
+    including chunks smaller than the persistence hold (warm-up carry)."""
+    from passiveradar_tpu.viz.render import (iter_display_frames,
+                                             prepare_display_frames)
+    x = rng.random((8, 6, 23)).astype(np.float32)
+    want = prepare_display_frames(x, hold=5, decay=0.9)
+    for chunk in (1, 3, 5, 8, 23, 64):
+        got = np.stack(list(iter_display_frames(x, hold=5, decay=0.9,
+                                                chunk=chunk)))
+        assert got.shape == want.shape
+        assert np.allclose(got, want, rtol=1e-5, atol=1e-6), chunk
+    # hold=1 (no memory) edge case
+    w1 = prepare_display_frames(x, hold=1, decay=0.5)
+    g1 = np.stack(list(iter_display_frames(x, hold=1, decay=0.5, chunk=4)))
+    assert np.allclose(g1, w1, rtol=1e-5, atol=1e-6)
+
+
+def test_lazy_cfar_slices_match_full_stack(rng):
+    """cli.plot.LazyCFAR chunk slices == CFAR of the whole stack, sliced."""
+    from passiveradar_tpu.cli.plot import LazyCFAR, cfar_stack
+    x = (rng.random((32, 24, 9)) + 0.1).astype(np.float32)
+    full = cfar_stack(x, fw=6, gw=2)
+    lazy = LazyCFAR(x, fw=6, gw=2)
+    assert lazy.shape == x.shape
+    got = np.concatenate([lazy[:, :, s:s + 4] for s in range(0, 9, 4)],
+                         axis=2)
+    assert np.allclose(got, full, rtol=1e-5, atol=1e-6)
+
+
 def test_track_coasts_then_dies_when_target_vanishes(rng):
     """Lifecycle: confirm on a persistent target, then coast (extrapolate) and
     kill the track once the measurement history dries up
@@ -239,7 +288,8 @@ def test_track_coasts_then_dies_when_target_vanishes(rng):
     for t in range(30):  # target gone: pure noise frames
         frames.append((rng.random((nf, nr)) * 0.2 + 1.0).astype(np.float32))
     frames = np.stack(frames)
-    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=4, k_max=64)
+    hist = multitarget_tracker(frames, (d_ext, r_ext), n_tracks=4, k_max=64,
+                               frames_last=False)
     status = np.asarray(hist["status"])
     est = np.asarray(hist["estimate"])
     # confirmed at some point while the target persists...
