@@ -11,7 +11,7 @@ import time
 from passiveradar_tpu.cli.common import fail_on_missing_capture, banner, load, parser
 from passiveradar_tpu.io.hdf5 import CaptureReader
 from passiveradar_tpu.io.writers import MapWriter, write_metadata
-from passiveradar_tpu.pipeline import run_capture
+from passiveradar_tpu.pipeline import capture_frame_count, run_capture
 
 
 @fail_on_missing_capture
@@ -60,7 +60,7 @@ def main(argv=None):
 
     reader = CaptureReader(cfg)
     print(f"Corrected a sample offset of {reader.offset} samples between channels")
-    total = min(reader.num_frames, cfg.num_frames)
+    total = capture_frame_count(reader, cfg)
     writer = MapWriter(cfg, total, resume=args.resume)
     if args.resume and writer.frames_done:
         print(f"Resuming at frame {writer.frames_done}/{total}")

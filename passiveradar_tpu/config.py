@@ -86,6 +86,12 @@ class RadarConfig:
     # device raw — half the host->device bytes — and converted to float32
     # on device as x * int16_scale (see io/hdf5.py + pipeline.py)
     int16_scale: float = 1.0
+    # Strict frame-for-frame output parity with the reference: it trims the
+    # final chunk (reference main.py:116-120, min(N_chunks, num_frames)-1),
+    # so its stacks hold one FEWER frame for the same capture. Default off
+    # (we keep the last valid frame); enable to diff output files
+    # frame-for-frame against reference runs.
+    strict_frame_parity: bool = False
 
     # ---- derived (filled by derive_config) --------------------------------------
     cpi_samples: int = 0
@@ -138,6 +144,7 @@ _RAW_KEYS = {
     "clutter_doppler_bins", "clutter_method", "nlms_mu", "caf_window",
     "caf_short_filt", "frame_batch", "max_measurements", "int16_scale",
     "wideband_channels", "wideband_channel_select", "wideband_taps_per_branch",
+    "strict_frame_parity",
 }
 
 
