@@ -227,21 +227,27 @@ def _multitarget_scan(frames, frame_extent, n_tracks: int, k_max: int):
 def _orient_stack(data, frames_last):
     """Normalise a frame stack to frames-first.
 
-    frames_last=None guesses (frames-last iff the last axis is the smallest,
-    matching typical geometries) — pass it explicitly whenever the frame
-    count can rival the map dimensions, otherwise the guess is ambiguous.
+    frames_last=None guesses ONLY when unambiguous: the candidate frame
+    axis (first or last) must be at most half of both map dimensions of its
+    interpretation, and only one interpretation may qualify. Anything else
+    raises — a silently wrong orientation produces garbage tracks, so an
+    ambiguous stack (frame count rivaling a map dimension, e.g. the
+    reference FM geometry's (1024, 176, 1200)) requires an explicit
+    frames_last from the caller. The CLI surfaces always pass it.
     """
     data = jnp.asarray(data, jnp.float32)
     if data.ndim != 3:
         raise ValueError("expected a 3-D frame stack")
     if frames_last is None:
-        frames_last = data.shape[2] <= min(data.shape[0], data.shape[1])
-        if data.shape[2] * 2 > min(data.shape[0], data.shape[1]):
-            import warnings
-            warnings.warn(
-                f"frame-stack orientation guessed as frames_last={frames_last} "
-                f"for shape {tuple(data.shape)}; the frame count rivals the "
-                "map dimensions — pass frames_last explicitly", stacklevel=3)
+        last_ok = data.shape[2] * 2 <= min(data.shape[0], data.shape[1])
+        first_ok = data.shape[0] * 2 <= min(data.shape[1], data.shape[2])
+        if last_ok == first_ok:
+            raise ValueError(
+                f"cannot infer frame-stack orientation for shape "
+                f"{tuple(data.shape)} — the frame count rivals the map "
+                "dimensions; pass frames_last explicitly (True for the "
+                "reference (doppler, range, frames) file layout)")
+        frames_last = last_ok
     if frames_last:
         data = jnp.moveaxis(data, 2, 0)
     return data
