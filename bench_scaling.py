@@ -50,7 +50,23 @@ TINY_GEOMETRY = dict(
 
 
 def main():
+    validate = "--validate-collectives" in sys.argv
+    if validate:
+        # force the 8-virtual-CPU-device backend BEFORE jax initialises; the
+        # env vars alone are not reliable (a device plugin's sitecustomize
+        # can import jax at interpreter boot and pre-empt JAX_PLATFORMS)
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
+    if validate:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+        assert jax.default_backend() == "cpu", jax.default_backend()
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -62,7 +78,6 @@ def main():
     from passiveradar_tpu.pipeline import (frame_phases, process_frames,
                                            process_frames_shmap)
 
-    validate = "--validate-collectives" in sys.argv
     cfg = derive_config(TINY_GEOMETRY if validate else FM_GEOMETRY)
     metric = ("scaling_collective_validation_frames_per_s" if validate
               else "scaling_frames_per_s")
@@ -88,15 +103,18 @@ def main():
             r1, v1 = jax.device_put(r1, sh), jax.device_put(v1, sh)
             r2, v2 = jax.device_put(r2, sh), jax.device_put(v2, sh)
             ph = jax.device_put(ph, sh)
+            # the production multi-chip program (what run_capture dispatches)
+            step = lambda a, b, p: process_frames_shmap(a, b, p, cfg, mesh)
+        else:
+            step = lambda a, b, p: process_frames(a, b, p, cfg)
 
-        out = process_frames(r1, v1, ph, cfg)
+        out = step(r1, v1, ph)
         float(summ(out, jnp.float32(0.0)))          # compile + sync
         reps = 8
         t0 = time.time()
         acc = jnp.float32(0.0)
         for i in range(reps):
-            out = process_frames(r1 if i % 2 else r2, v1 if i % 2 else v2,
-                                 ph, cfg)
+            out = step(r1 if i % 2 else r2, v1 if i % 2 else v2, ph)
             acc = summ(out, acc)
         float(acc)
         fps = reps * batch / (time.time() - t0)
@@ -104,7 +122,7 @@ def main():
             base = fps
         eff = fps / (base * nd)
         print(json.dumps({
-            "metric": "scaling_frames_per_s", "devices": nd,
+            "metric": metric, "devices": nd,
             "value": round(fps, 2), "unit": "frames/s",
             "efficiency": round(eff, 3),
         }))
@@ -112,4 +130,4 @@ def main():
 
 
 if __name__ == "__main__":
-    child_or_retry(main)
+    child_or_retry(main, probe="--validate-collectives" not in sys.argv)

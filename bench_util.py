@@ -41,21 +41,23 @@ def _backend_alive(timeout_s: float = 180.0) -> bool:
 
 
 def run_with_retries(argv: list[str], attempts: int = 3,
-                     timeout_s: float = 1500.0) -> int:
+                     timeout_s: float = 1500.0, probe: bool = True) -> int:
     """Run ``argv`` until it emits a JSON metric line; retry on failure.
 
     Prints the child's metric line(s) on stdout and everything else on
     stderr. Returns 0 on success, the last child's return code otherwise.
+    ``probe=False`` skips the TPU liveness probe — for CPU-only runs, which
+    must not touch the (possibly busy) single tunnelled chip at all.
     """
-    for probe in range(1, 4):
-        if _backend_alive():
+    for p in range(1, 4):
+        if not probe or _backend_alive():
             break
-        print(f"# backend liveness probe {probe}/3 failed "
+        print(f"# backend liveness probe {p}/3 failed "
               "(relay tunnel unresponsive)", file=sys.stderr)
-        if probe == 3:
+        if p == 3:
             print("# giving up: device backend unreachable", file=sys.stderr)
             return 2
-        time.sleep(30.0 * probe)
+        time.sleep(30.0 * p)
     last_rc = 1
     for attempt in range(1, attempts + 1):
         t0 = time.time()
@@ -86,11 +88,13 @@ def run_with_retries(argv: list[str], attempts: int = 3,
     return last_rc
 
 
-def child_or_retry(main_fn, attempts: int = 3, timeout_s: float = 1500.0):
+def child_or_retry(main_fn, attempts: int = 3, timeout_s: float = 1500.0,
+                   probe: bool = True):
     """Entry helper: run ``main_fn`` when invoked with --child, else
     supervise retries of this same script."""
     if "--child" in sys.argv:
         main_fn()
         return
     argv = [sys.executable, sys.argv[0], "--child"] + sys.argv[1:]
-    sys.exit(run_with_retries(argv, attempts=attempts, timeout_s=timeout_s))
+    sys.exit(run_with_retries(argv, attempts=attempts, timeout_s=timeout_s,
+                              probe=probe))
