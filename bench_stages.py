@@ -102,6 +102,7 @@ def main():
                 cfg.clutter_doppler_bins, impl=impl))(r, s))
 
     timeit("clutter impl=carry", _impl_fn("carry"), ref_if, srv_if)
+    timeit("clutter impl=coupled", _impl_fn("coupled"), ref_if, srv_if)
     for flen in (2048, 4096, 8192, 16384, 32768):
         _cl.SEGMENT_FFT_LEN = flen
         try:

@@ -420,6 +420,9 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     if impl == "segment":
         return _ls_multiple_segment(ref, srv, filter_len, sample_rate,
                                     doppler_bins, solver)
+    if impl == "coupled":
+        return _ls_multiple_coupled(ref, srv, filter_len, sample_rate,
+                                    doppler_bins, solver)
     if impl != "carry":
         raise ValueError(f"unknown ls_filter_multiple impl {impl!r}")
     n = ref.shape[0]
@@ -488,7 +491,117 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
 
 # --------------------------------------------------------------------------
-# segment-Gram multi-bin LS (the production clutter path)
+# precoupled multi-bin LS (batched couplings, no residual carry)
+# --------------------------------------------------------------------------
+
+def _tail_matrices_m(tails: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(nb, m-1, m) truncation-tail operators T_b[r, j] = rs_b[n + r - j]
+    (j > r) from the (nb, m) last-m-samples tails (tails[i] = rs_b[n-m+i])."""
+    r_ = np.arange(m - 1)[:, None]
+    j_ = np.arange(m)[None, :]
+    idx = np.clip(m + r_ - j_, 0, m - 1)
+    t = tails[:, jnp.asarray(idx)]
+    return jnp.where(jnp.asarray(j_ > r_), t, 0)
+
+
+def _ls_multiple_coupled(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
+                         sample_rate: float, doppler_bins=(0,),
+                         solver: str = "levinson") -> jnp.ndarray:
+    """Precoupled formulation of the sequential multi-bin Toeplitz LS.
+
+    Same unrolled algebra as _ls_multiple_segment (the sequential passes are
+    linear in the carried residual):
+
+        taps_b = T_b^{-1} (cc0_b - sum_{a<b} M_ab @ taps_a)
+        out    = srv - sum_b trunc_n(conv(rs_b, taps_b))
+        M_ab[u, j] = G_ab[u-j] - (T_b^H T_a)[u, j]
+
+    but with every correlation computed the carry impl's way — circular
+    full-length spectra products + batched zoom extraction + exact
+    triangular alias corrections — instead of segment Grams. vs impl="carry"
+    this removes ALL full-length work from the sequential chain: the scan's
+    per-bin zoom + sparse FFT + two spectrum updates (measured ~1.3 ms/bin,
+    mostly dependency latency) become one batched 30-row zoom and one
+    batched reconstruction, leaving only m-sized matvecs and G-S solves
+    serial. Transform count is unchanged (f0/f1/srv forward + one inverse).
+    Matches carry / the float64 oracle to f32 round-off (test_clutter).
+    """
+    n = ref.shape[0]
+    peek = 10
+    m = filter_len + peek
+    nb = len(doppler_bins)
+
+    f_rs_all, heads, tails = _modulated_ref_spectra(
+        ref, n, m, peek, sample_rate, doppler_bins)
+    f_srv = fft_auto(srv)
+
+    # every needed correlation spectrum, zoomed in ONE batched call:
+    #   rows 0..nb-1          : autocorrs     q_bb
+    #   rows nb..2nb-1        : cc0           f_srv * conj(f_rs_b)
+    #   next np rows          : G_ab  (a<b)   q_ab = f_rs_a * conj(f_rs_b)
+    #   next np rows          : G_ba  (a<b)   conj(q_ab)
+    pairs = [(a, b) for b in range(nb) for a in range(b)]
+    ai = np.array([p[0] for p in pairs], np.int64)
+    bi = np.array([p[1] for p in pairs], np.int64)
+    q_diag = f_rs_all * jnp.conj(f_rs_all)
+    q_cc = f_srv[None, :] * jnp.conj(f_rs_all)
+    if pairs:
+        q_pair = f_rs_all[jnp.asarray(ai)] * jnp.conj(f_rs_all[jnp.asarray(bi)])
+        stack = jnp.concatenate([q_diag, q_cc, q_pair, jnp.conj(q_pair)])
+    else:
+        stack = jnp.concatenate([q_diag, q_cc])
+    lags = partial_ifft(stack, m)                       # (2nb + 2np, m)
+
+    # exact circular→linear alias corrections (head of s1 vs tail of s2)
+    tcw = jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))
+    srv_heads = jnp.broadcast_to(srv[:m], (nb, m))
+    ac_all = lags[:nb] - tcw(heads, tails)
+    cc0 = lags[nb:2 * nb] - tcw(srv_heads, tails)
+    npairs = len(pairs)
+    if pairs:
+        g_ab = lags[2 * nb:2 * nb + npairs] - tcw(heads[jnp.asarray(ai)],
+                                                  tails[jnp.asarray(bi)])
+        g_ba = lags[2 * nb + npairs:] - tcw(heads[jnp.asarray(bi)],
+                                            tails[jnp.asarray(ai)])
+        # Toeplitz part from the two-sided lags: G_ab[-u] = conj(G_ba[u])
+        v = jnp.concatenate([jnp.conj(jnp.flip(g_ba[:, 1:], axis=-1)), g_ab],
+                            axis=-1)                    # (np, 2m-1)
+        lj = np.arange(m)[:, None] - np.arange(m)[None, :] + m - 1
+        m_toep = v[:, jnp.asarray(lj)]                  # (np, m, m)
+        t_all = _tail_matrices_m(tails, m)              # (nb, m-1, m)
+        m_tail = jnp.einsum("prl,prj->plj",
+                            jnp.conj(t_all[jnp.asarray(bi)]),
+                            t_all[jnp.asarray(ai)],
+                            precision=jax.lax.Precision.HIGHEST)
+        m_pair = m_toep - m_tail
+    pair_of = {ab: i for i, ab in enumerate(pairs)}
+
+    guard = 1e-25 * jnp.maximum(1.0, jnp.abs(ac_all[:, 0]))
+    ac_all = ac_all.at[:, 0].add(guard.astype(ac_all.dtype))
+    solve_xs, apply_inv = _solver_data(ac_all, m, solver)
+
+    # the only serial piece: per bin, b matvecs + one G-S solve (all m-sized)
+    taps = []
+    for b in range(nb):
+        cc = cc0[b]
+        for a in range(b):
+            cc = cc - m_pair[pair_of[(a, b)]] @ taps[a]
+        sd = tuple(x[b] for x in solve_xs)
+        taps.append(apply_inv(sd, cc).astype(jnp.complex64))
+    taps_all = jnp.stack(taps)                          # (nb, m)
+
+    # batched reconstruction: one spectrum combine + one inverse transform
+    f_clut = jnp.sum(f_rs_all * sparse_fft(taps_all, n), axis=0)
+    out = ifft_auto(f_srv - f_clut)
+    head_fix = jnp.sum(
+        jax.vmap(lambda t, tl: _tri_conv_wrap(t, tl, m))(taps_all, tails),
+        axis=0)
+    out = out.at[:m].add(head_fix)
+    return out.astype(jnp.complex64)
+
+
+# --------------------------------------------------------------------------
+# segment-Gram multi-bin LS (exactness oracle / fractional-bin path)
 # --------------------------------------------------------------------------
 
 # override for the segment FFT length (power of two); None = auto (see

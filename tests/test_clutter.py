@@ -147,6 +147,26 @@ def test_ls_filter_multiple_matches_sequential_oracle(rng, solver):
     assert np.max(np.abs(got - cur)) < 5e-3 * np.max(np.abs(srv))
 
 
+@pytest.mark.parametrize("impl", ["segment", "coupled"])
+def test_ls_filter_multiple_impls_match_carry(rng, impl):
+    """The segment-Gram and precoupled formulations must reproduce the
+    production carry impl (same unrolled algebra, different evaluation)."""
+    n, flen = 4096, 16
+    fs = n / 0.9998442            # FM-like fractional bins (order-1 ramp)
+    bins = (0, 1, -1, 2, -2)
+    ref = _cnoise(rng, n)
+    srv = (np.roll(ref, 2) + 0.05 * _cnoise(rng, n)).astype(np.complex64)
+    want = np.asarray(ls_filter_multiple(ref, srv, flen, fs, bins,
+                                         impl="carry"))
+    got = np.asarray(ls_filter_multiple(ref, srv, flen, fs, bins, impl=impl))
+    assert np.max(np.abs(got - want)) < 2e-3 * np.max(np.abs(srv))
+    # all-zero frames (batch padding) stay finite in every impl
+    z = np.zeros(2048, np.complex64)
+    out = np.asarray(ls_filter_multiple(z, z, 16, 2048.0, (0, 1, -1),
+                                        impl=impl))
+    assert np.all(np.isfinite(out)) and np.max(np.abs(out)) == 0.0
+
+
 @pytest.mark.parametrize("stretch", [0.9998442, 1.002, 1.024])
 def test_ls_filter_multiple_fractional_bins(rng, stretch):
     """Chunk durations off integer seconds: bins land at fractional DFT bins.
