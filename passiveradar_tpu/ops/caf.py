@@ -140,14 +140,49 @@ def _caf_pre_rows(aa, pp, d: int, n_extra: int, range_bins: int,
     return pre[:, ::-1]                 # → [m, k], k = 0..R (lag -R..0)
 
 
+@functools.lru_cache(maxsize=16)
+def _doppler_dft_shifted(nf: int):
+    """(nf, nf) DFT matrix with fftshifted OUTPUT rows: one MXU matmul
+    evaluates fftshift(fft(pre, axis=0), 0) — the shift permutation rides
+    the matrix for free (float64 reduced-argument twiddles)."""
+    k = np.arange(nf, dtype=np.float64)[None, :]
+    u = ((np.arange(nf) + nf // 2) % nf).astype(np.float64)[:, None]
+    w = np.exp(-2j * np.pi * ((u * k % nf) / nf))
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+def _doppler_transform(pre: jnp.ndarray) -> jnp.ndarray:
+    """fftshift(fft(pre, axis=0), axes=0) for the (nf, R+1) pre-FFT matrix.
+
+    On TPU the Doppler axis (≤2048) is far below mxufft's AUTO_MIN, so the
+    VPU FFT plus two relayouts used to run here; a single fused 3-mult
+    matmul against the shift-permuted DFT matrix keeps it on the MXU
+    (HIGH precision — f32-faithful for DFT sums, see ops/mxufft.py).
+    """
+    nf = pre.shape[0]
+    if not (use_mxu() and nf <= 2048):
+        return jnp.fft.fftshift(fft_auto(pre, axis=0), axes=0)
+    from passiveradar_tpu.ops import mxufft
+    dr, di = _doppler_dft_shifted(nf)
+    dr = jnp.asarray(dr)
+    di = jnp.asarray(di)
+    ein = functools.partial(jnp.einsum, precision=mxufft.PRECISION,
+                            preferred_element_type=jnp.float32)
+    xr = jnp.real(pre).astype(jnp.float32)
+    xi = jnp.imag(pre).astype(jnp.float32)
+    m1 = ein("um,mk->uk", dr, xr)
+    m2 = ein("um,mk->uk", di, xi)
+    m3 = ein("um,mk->uk", dr + di, xr + xi)
+    return jax.lax.complex(m1 - m2, m3 - m1 - m2).astype(jnp.complex64)
+
+
 @functools.partial(jax.jit, static_argnames=("range_bins", "freq_bins"))
 def _fast_xambg_seg(ref, srv, window, range_bins: int, freq_bins: int):
     """Segment-FFT CAF core. ref/srv: (N,) complex64; window: (N,) or None."""
     aa, pp, d, n_extra = _caf_segment_tables(ref, srv, window, range_bins,
                                              freq_bins)
     pre = _caf_pre_rows(aa, pp, d, n_extra, range_bins, freq_bins)
-    out = jnp.fft.fftshift(fft_auto(pre, axis=0), axes=0)
-    return out.astype(jnp.complex64)
+    return _doppler_transform(pre).astype(jnp.complex64)
 
 
 def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
@@ -184,8 +219,7 @@ def fast_xambg_tp(ref: jnp.ndarray, srv: jnp.ndarray, range_bins: int,
         # device j ends with all nf rows of its (R+1)/ntp lag block
         my_lags = jax.lax.all_to_all(pre_local, axis_name, split_axis=1,
                                      concat_axis=0, tiled=True)  # (nf, lags/ntp)
-        out = jnp.fft.fftshift(fft_auto(my_lags, axis=0), axes=0)
-        return out.astype(jnp.complex64)
+        return _doppler_transform(my_lags).astype(jnp.complex64)
 
     return jax.shard_map(
         local, mesh=mesh,

@@ -165,8 +165,8 @@ def _planes(x):
     return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "inverse"))
-def _transform(x, axis: int, inverse: bool):
+@functools.partial(jax.jit, static_argnames=("axis", "inverse", "fused"))
+def _transform(x, axis: int, inverse: bool, fused: bool = False):
     xr, xi = _planes(x)
     if axis not in (-1, x.ndim - 1):
         xr = jnp.moveaxis(xr, axis, -1)
@@ -174,24 +174,41 @@ def _transform(x, axis: int, inverse: bool):
     n = xr.shape[-1]
     if n & (n - 1):
         raise ValueError(f"mxufft supports power-of-two lengths only, got {n}")
-    yr, yi = _core(xr, xi, inverse)
-    if inverse:
-        yr = yr / n
-        yi = yi / n
+    if fused:
+        # fused single-kernel four-step (one HBM round-trip); carries the
+        # inverse 1/n inside its D_C table
+        from passiveradar_tpu.ops import fft_pallas
+        lead = xr.shape[:-1]
+        yr, yi = fft_pallas._fft_fused_planes(
+            xr.reshape(-1, n), xi.reshape(-1, n), inverse)
+        yr = yr.reshape(lead + (n,))
+        yi = yi.reshape(lead + (n,))
+    else:
+        yr, yi = _core(xr, xi, inverse)
+        if inverse:
+            yr = yr / n
+            yi = yi / n
     out = jax.lax.complex(yr, yi).astype(jnp.complex64)
     if axis not in (-1, x.ndim - 1):
         out = jnp.moveaxis(out, -1, axis)
     return out
 
 
+def _fused_route(x, axis: int) -> bool:
+    """Trace-time: route this transform through the fused Pallas kernel?"""
+    from passiveradar_tpu.ops import fft_pallas
+    n = x.shape[axis]
+    return fft_pallas.supported(n) and fft_pallas.use_fused()
+
+
 def fft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Forward DFT along ``axis`` (power-of-two length), MXU matmul form."""
-    return _transform(x, axis, False)
+    return _transform(x, axis, False, _fused_route(x, axis))
 
 
 def ifft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Inverse DFT along ``axis`` (power-of-two length), MXU matmul form."""
-    return _transform(x, axis, True)
+    return _transform(x, axis, True, _fused_route(x, axis))
 
 
 @functools.lru_cache(maxsize=128)

@@ -99,3 +99,42 @@ def test_pipeline_parity_mxu_forced(monkeypatch):
     np.testing.assert_allclose(mxu_clean, base_clean, atol=2e-4, rtol=0)
     scale = np.abs(base_maps).max()
     np.testing.assert_allclose(mxu_maps, base_maps, atol=1e-4 * scale, rtol=0)
+
+
+# ------------------------------------------------- fused Pallas four-step
+
+@pytest.mark.parametrize("n", [16384, 32768, 65536])
+def test_fused_fft_matches_jnp(n, monkeypatch):
+    """The fused single-kernel four-step (ops/fft_pallas) must match jnp.fft
+    to f32 round-off, forward and inverse, batched (interpret mode on CPU)."""
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_FFT", "1")
+    from passiveradar_tpu.ops import fft_pallas
+    x = _rand_c((3, n), seed=n + 7)
+    got = fft_pallas.fft_fused(jnp.asarray(x))
+    want = jnp.fft.fft(x)
+    scale = np.sqrt(n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5 * scale, rtol=0)
+    gi = fft_pallas.fft_fused(jnp.asarray(x), inverse=True)
+    wi = jnp.fft.ifft(x)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                               atol=2e-5, rtol=0)
+    # the mxufft entry points route through the fused kernel under the env
+    got2 = mxufft.fft(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               atol=2e-5 * scale, rtol=0)
+
+
+def test_fused_fft_full_length_and_leading_dims(monkeypatch):
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_FFT", "1")
+    from passiveradar_tpu.ops import fft_pallas
+    n = 262144                      # the FM geometry's full chunk length
+    x = _rand_c((2, n), seed=42)
+    got = np.asarray(fft_pallas.fft_fused(jnp.asarray(x)))
+    want = np.asarray(jnp.fft.fft(x))
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.sqrt(n), rtol=0)
+    # leading dims flatten into the frame grid
+    x3 = x.reshape(2, 1, n)
+    got3 = np.asarray(fft_pallas.fft_fused(jnp.asarray(x3)))
+    np.testing.assert_allclose(got3[:, 0], want, atol=2e-5 * np.sqrt(n),
+                               rtol=0)
