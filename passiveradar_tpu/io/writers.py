@@ -76,6 +76,12 @@ class MapWriter:
                                 chunks=chunk, dtype=np.complex64)
             if resume:
                 self.frames_done = int(self._z.attrs.get("frames_done", 0))
+            else:
+                # mode 'w' cleared the store (zarr semantics; enforced in
+                # zarr_min too) — pin the resume counter to 0 explicitly so
+                # a crash before the first write resumes from 0, matching
+                # the HDF5 branch
+                self._z.attrs["frames_done"] = 0
             self._h5 = None
         else:
             import os

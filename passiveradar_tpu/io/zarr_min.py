@@ -192,8 +192,10 @@ def open(path: str, mode: str = "r", shape=None, chunks=None, dtype=None,
     """Open/create a zarr v2 directory array (subset of ``zarr.open``).
 
     mode 'r': read existing. 'a': open existing if present else create.
-    'w': create (overwrite metadata; stale chunk files from a larger
-    previous array are ignored by readers because .zarray bounds them).
+    'w': create, CLEARING any previous array at the path first (chunk
+    files, .zattrs, metadata) — matching real zarr's mode-'w' semantics,
+    so neither stale chunk data nor a stale resume counter can leak into
+    the new array. 'w-': create, failing if an array already exists.
     ``compressor='default'`` means zlib level 1 — compressed output stays
     real-zarr-readable while keeping the writer dependency-free.
     """
@@ -207,8 +209,17 @@ def open(path: str, mode: str = "r", shape=None, chunks=None, dtype=None,
         return Array(path, meta, writable=(mode != "r"))
     if mode not in ("w", "a", "w-"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if mode == "w-" and exists:
+        raise FileExistsError(meta_path)
     if shape is None or dtype is None:
         raise ValueError("creating an array requires shape= and dtype=")
+    if mode == "w" and os.path.isdir(path):
+        # real zarr's mode 'w' clears the store: an interrupted fresh run
+        # must never expose the PREVIOUS array's chunks or resume counter
+        for name in os.listdir(path):
+            f = os.path.join(path, name)
+            if os.path.isfile(f):
+                os.remove(f)
     chunks = tuple(chunks) if chunks else tuple(shape)
     if compressor == "default":
         compressor = {"id": "zlib", "level": 1}

@@ -165,16 +165,28 @@ def fft_fused(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
 def use_fused() -> bool:
     """Route mxufft's full-length transforms through the fused kernel?
 
-    TPU-compiled only: under a multi-device AUTO-sharded program the Mosaic
-    call can't be partitioned along the batch axis, so mxufft falls back to
-    its XLA formulation there (same math); shard_map bodies re-enable it via
-    ops.resample_pallas.manual_region (per-device programs).
+    Default OFF — opt in with ``PASSIVERADAR_PALLAS_FFT=1``. Measured on the
+    v5e headline (2026-08-20, fresh processes, same session): fused ON
+    414.0 frames/s vs OFF 431.4 — in the full fused pipeline XLA overlaps
+    the staged four-step's passes with neighbouring stages, which the
+    single-kernel form serialises, so the kernel's one-HBM-round-trip
+    advantage does not survive composition. Kept for standalone use (a lone
+    2^18 FFT with nothing to overlap) and as the Mosaic reference kernel;
+    parity is tested either way (tests/test_mxufft.py).
+
+    Note: the env is read at trace time; pipeline-level jits key on it via
+    pipeline._routing_key, so flipping it between calls retraces correctly.
     """
     import os
     env = os.environ.get("PASSIVERADAR_PALLAS_FFT")
-    if env is not None:
-        return env not in ("0", "", "false")
-    if jax.default_backend() != "tpu":
+    if env is None:
         return False
+    if env in ("0", "", "false"):
+        return False
+    # opt-in: legal in single-device TPU programs and shard_map bodies
+    # (per-device programs); an AUTO-sharded multi-device program cannot
+    # partition the Mosaic call along the batch axis
+    if jax.default_backend() != "tpu":
+        return True  # explicit opt-in on CPU runs interpreted (tests)
     from passiveradar_tpu.ops import resample_pallas
     return jax.device_count() == 1 or resample_pallas._IN_MANUAL_REGION

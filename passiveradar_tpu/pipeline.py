@@ -18,6 +18,7 @@ its `overlap` becomes a neighbour collective (parallel/halo.py).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Sequence
 
@@ -83,7 +84,33 @@ def _preprocess_impl(raw: jnp.ndarray, phases: jnp.ndarray,
     return resampled
 
 
-preprocess_batch = jax.jit(_preprocess_impl, static_argnames=("cfg",))
+def _routing_key(manual: bool = False) -> tuple:
+    """Snapshot of the trace-time kernel-routing gates.
+
+    ops/mxufft.use_mxu, ops/fft_pallas.use_fused and
+    ops/resample_pallas.use_pallas_resample are consulted DURING tracing
+    (env vars + backend), which jit caches cannot see — so every
+    pipeline-level jit keys on this snapshot. Flipping
+    PASSIVERADAR_{MXU_FFT,PALLAS_FFT,PALLAS_RESAMPLE} between calls then
+    retraces instead of silently reusing a program compiled under the old
+    setting. ``manual=True`` evaluates the gates as a shard_map body will
+    see them (inside a manual region)."""
+    from passiveradar_tpu.ops import fft_pallas, mxufft, resample_pallas
+    ctx = resample_pallas.manual_region() if manual else (
+        contextlib.nullcontext())
+    with ctx:
+        return (mxufft.use_mxu(), fft_pallas.use_fused(),
+                resample_pallas.use_pallas_resample())
+
+
+_preprocess_jit = jax.jit(
+    lambda raw, phases, cfg, _routing: _preprocess_impl(raw, phases, cfg),
+    static_argnames=("cfg", "_routing"))
+
+
+def preprocess_batch(raw: jnp.ndarray, phases: jnp.ndarray,
+                     cfg: RadarConfig) -> jnp.ndarray:
+    return _preprocess_jit(raw, phases, cfg, _routing_key())
 
 
 def _clutter_impl(ref: jnp.ndarray, srv: jnp.ndarray,
@@ -108,11 +135,18 @@ def _clutter_impl(ref: jnp.ndarray, srv: jnp.ndarray,
         raise ValueError(f"unknown clutter_method {method!r}")
     fn = lambda r, s: ls_filter_multiple(
         r, s, cfg.num_range_cells, cfg.IF_sample_rate,
-        cfg.clutter_doppler_bins)
+        cfg.clutter_doppler_bins, impl=cfg.clutter_impl)
     return jax.vmap(fn)(ref, srv)
 
 
-clutter_batch = jax.jit(_clutter_impl, static_argnames=("cfg",))
+_clutter_jit = jax.jit(
+    lambda ref, srv, cfg, _routing: _clutter_impl(ref, srv, cfg),
+    static_argnames=("cfg", "_routing"))
+
+
+def clutter_batch(ref: jnp.ndarray, srv: jnp.ndarray,
+                  cfg: RadarConfig) -> jnp.ndarray:
+    return _clutter_jit(ref, srv, cfg, _routing_key())
 
 
 def _caf_windowed(ref_ov: jnp.ndarray, srv_ov: jnp.ndarray,
@@ -139,14 +173,21 @@ def _caf_batch_impl(ref: jnp.ndarray, srv_clean: jnp.ndarray,
     return _caf_windowed(ref, srv_clean, cfg)
 
 
-caf_batch = jax.jit(_caf_batch_impl, static_argnames=("cfg",))
+_caf_jit = jax.jit(
+    lambda ref, srv_clean, cfg, _routing: _caf_batch_impl(
+        ref, srv_clean, cfg),
+    static_argnames=("cfg", "_routing"))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
-                   phases: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
-    """Full chain for a self-contained batch of frames (halo from within the
-    batch, zero at its edges). raw_*: (F, input_chunk_length) float32."""
+def caf_batch(ref: jnp.ndarray, srv_clean: jnp.ndarray,
+              cfg: RadarConfig) -> jnp.ndarray:
+    return _caf_jit(ref, srv_clean, cfg, _routing_key())
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "_routing"))
+def _process_frames_jit(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
+                        phases: jnp.ndarray, cfg: RadarConfig,
+                        _routing: tuple) -> jnp.ndarray:
     # NOTE: preprocessing both channels as one concatenated 2F-frame batch
     # was measured SLOWER (391 vs 410 frames/s): the concat materialises a
     # ~300 MB copy of the raw IQ before the resampler kernel.
@@ -156,15 +197,22 @@ def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     return _caf_batch_impl(ref, srv_clean, cfg)
 
 
+def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
+                   phases: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
+    """Full chain for a self-contained batch of frames (halo from within the
+    batch, zero at its edges). raw_*: (F, input_chunk_length) float32."""
+    return _process_frames_jit(raw_ref, raw_srv, phases, cfg, _routing_key())
+
+
 @functools.lru_cache(maxsize=16)
-def _shmap_program(cfg: RadarConfig, mesh, axis_name: str, pallas: bool):
+def _shmap_program(cfg: RadarConfig, mesh, axis_name: str, routing: tuple):
     """Build (and cache) the jitted shard_map pipeline for one (cfg, mesh).
 
     Cached so run_capture's per-batch calls reuse one compiled program (a
-    fresh jax.jit per call would retrace every batch). ``pallas`` is part of
-    the key because it is a trace-time routing decision
-    (ops/resample_pallas.use_pallas_resample) that must invalidate the cache
-    when the env override changes between calls.
+    fresh jax.jit per call would retrace every batch). ``routing`` is the
+    _routing_key(manual=True) snapshot — every trace-time kernel-routing
+    decision (Pallas resampler, fused Pallas FFT, MXU DFT) is part of the
+    key, so flipping an env override between calls rebuilds the program.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -174,18 +222,21 @@ def _shmap_program(cfg: RadarConfig, mesh, axis_name: str, pallas: bool):
     n = mesh.shape[axis_name]
 
     def local(r, s, p):
-        # manual_region: trace-time flag → the per-device Pallas resampler
-        # stays on the hot path (the body is a per-device program, so the
-        # SPMD-partitioner restriction on custom calls does not apply)
+        # manual_region: trace-time flag → Mosaic custom calls (the Pallas
+        # resampler and the fused Pallas FFT in the clutter/CAF full-length
+        # transforms) stay on the hot path: the whole body is a per-device
+        # program, so the SPMD-partitioner restriction on custom calls does
+        # not apply to ANY stage here (the halo ppermutes are ordinary
+        # collectives, unaffected by the flag)
         with manual_region():
             ref = _preprocess_impl(r, p, cfg)
             srv = _preprocess_impl(s, p, cfg)
-        srv_clean = _clutter_impl(ref, srv, cfg)
-        if cfg.window_overlap:
-            ref = local_overlap(ref, cfg.window_overlap, n, axis_name)
-            srv_clean = local_overlap(srv_clean, cfg.window_overlap, n,
-                                      axis_name)
-        return _caf_windowed(ref, srv_clean, cfg)
+            srv_clean = _clutter_impl(ref, srv, cfg)
+            if cfg.window_overlap:
+                ref = local_overlap(ref, cfg.window_overlap, n, axis_name)
+                srv_clean = local_overlap(srv_clean, cfg.window_overlap, n,
+                                          axis_name)
+            return _caf_windowed(ref, srv_clean, cfg)
 
     # check_vma=False: Pallas custom calls (the resampler kernel) declare
     # their out_shape without varying-mesh-axes metadata, which the vma
@@ -197,11 +248,10 @@ def _shmap_program(cfg: RadarConfig, mesh, axis_name: str, pallas: bool):
     return jax.jit(fn)
 
 
-def _pallas_decision() -> bool:
-    """What use_pallas_resample() will return inside the manual region."""
-    from passiveradar_tpu.ops import resample_pallas
-    with resample_pallas.manual_region():
-        return resample_pallas.use_pallas_resample()
+def _pallas_decision() -> tuple:
+    """Routing key as a shard_map body will see it (inside a manual region):
+    Pallas resampler, fused Pallas FFT, and MXU DFT gates."""
+    return _routing_key(manual=True)
 
 
 def process_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,

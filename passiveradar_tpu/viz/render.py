@@ -73,6 +73,14 @@ def prepare_display_frames(cf: np.ndarray, hold: int = 20,
     return _to_display(stack)
 
 
+def _frame_clim(frame: np.ndarray) -> tuple[float, float]:
+    """Per-frame color limits, the reference's exact ad-hoc values
+    (range_doppler_plot.py:84-85): vmin = 35th percentile,
+    vmax = 1.5 x 99th percentile, recomputed per displayed frame."""
+    return (float(np.percentile(frame, 35)),
+            1.5 * float(np.percentile(frame, 99)))
+
+
 def _setup_axes(ax, cfg: RadarConfig):
     ax.set_xlabel("Doppler shift (Hz)")
     ax.set_ylabel("Bistatic range (km)")
@@ -89,7 +97,7 @@ def render_frames(cf: np.ndarray, cfg: RadarConfig, out_dir: str = "IMG",
     extent = [-cfg.max_doppler_actual, cfg.max_doppler_actual,
               0, cfg.max_range_actual]
     for k, frame in enumerate(iter_display_frames(cf, hold, decay)):
-        vmin, vmax = np.percentile(frame, [1, 99])
+        vmin, vmax = _frame_clim(frame)
         fig = plt.figure(figsize=(8, 4.5), dpi=120)
         ax = fig.add_subplot(111)
         # row 0 of the display frame is MAXIMUM range (the reference's
@@ -129,10 +137,10 @@ def render_video(cf: np.ndarray, cfg: RadarConfig, out_path: str,
     writer = animation.FFMpegWriter(fps=fps)
     # stream frames straight into the encoder (grab_frame) instead of
     # materialising the display stack for FuncAnimation; per-frame clim
-    # matches the reference's in-loop percentile limits
+    # uses the reference's in-loop percentile limits (_frame_clim)
     with writer.saving(fig, out_path, fig.dpi):
         for k, frame in enumerate(iter_display_frames(cf, hold, decay)):
-            vmin, vmax = np.percentile(frame, [1, 99])
+            vmin, vmax = _frame_clim(frame)
             if im is None:
                 im = ax.imshow(frame, cmap="gnuplot2", vmin=vmin, vmax=vmax,
                                extent=extent, aspect="auto")

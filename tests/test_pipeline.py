@@ -503,3 +503,40 @@ def test_run_capture_sharded_routes_through_shmap(tiny_cfg, tmp_path,
     w.close()
     reader.close()
     assert n == total
+
+
+def test_env_gates_key_the_jit_caches(tiny_cfg, monkeypatch):
+    """Flipping PASSIVERADAR_{MXU_FFT,PALLAS_FFT,PALLAS_RESAMPLE} between
+    calls must take effect: the gates are read at trace time, so every
+    pipeline-level jit keys on the _routing_key snapshot — a flipped env
+    produces a fresh trace (same math, different kernel routing), never a
+    silently reused stale program."""
+    import passiveradar_tpu.pipeline as pl
+
+    for env in ("PASSIVERADAR_MXU_FFT", "PASSIVERADAR_PALLAS_FFT",
+                "PASSIVERADAR_PALLAS_RESAMPLE"):
+        monkeypatch.delenv(env, raising=False)
+    base = pl._routing_key()
+    base_manual = pl._routing_key(manual=True)
+    for env in ("PASSIVERADAR_MXU_FFT", "PASSIVERADAR_PALLAS_FFT",
+                "PASSIVERADAR_PALLAS_RESAMPLE"):
+        monkeypatch.setenv(env, "1")
+        assert pl._routing_key() != base, env
+        assert pl._routing_key(manual=True) != base_manual, env
+        monkeypatch.delenv(env)
+    assert pl._routing_key() == base
+
+    # and the key actually reaches the program cache: a flipped gate is a
+    # different static argument -> a new executable, observed via lowering
+    cfg = tiny_cfg
+    ref = jnp.zeros((2, cfg.output_chunk_length), jnp.complex64)
+    n0 = pl._clutter_jit._cache_size()
+    pl.clutter_batch(ref, ref, cfg)
+    n1 = pl._clutter_jit._cache_size()
+    pl.clutter_batch(ref, ref, cfg)
+    assert pl._clutter_jit._cache_size() == n1  # same routing: cache hit
+    monkeypatch.setenv("PASSIVERADAR_MXU_FFT", "1")
+    pl.clutter_batch(ref, ref, cfg)
+    assert pl._clutter_jit._cache_size() == n1 + 1, (
+        "flipped env gate did not retrace")
+    assert n1 == n0 + 1

@@ -100,6 +100,38 @@ def test_zarr_min_fill_value_and_modes(tmp_path):
         zarr_min.open(p2, "r")
 
 
+def test_zarr_min_mode_w_clears_previous_array(tmp_path):
+    """Real zarr's mode 'w' clears the store: stale chunk data and the
+    stale resume counter from a previous array at the same path must not
+    survive (a fresh run interrupted before its first write, then resumed,
+    must not silently return the PREVIOUS run's output)."""
+    p = str(tmp_path / "w.zarr")
+    z = zarr_min.open(p, "w", shape=(4, 6), chunks=(2, 3), dtype=np.float32)
+    z[:, :] = 7.0
+    z.attrs["frames_done"] = 99
+    # recreate at the same path: smaller array, nothing written yet
+    z2 = zarr_min.open(p, "w", shape=(4, 6), chunks=(2, 3), dtype=np.float32)
+    assert dict(z2.attrs) == {}
+    out = np.asarray(zarr_min.open(p, "r"))
+    assert np.all(out == 0), "stale chunk data leaked through mode 'w'"
+    # mode 'w-': create-or-fail semantics
+    with pytest.raises(FileExistsError):
+        zarr_min.open(p, "w-", shape=(4, 6), dtype=np.float32)
+    p2 = str(tmp_path / "fresh.zarr")
+    znew = zarr_min.open(p2, "w-", shape=(2,), dtype=np.int16)
+    znew[0:2] = np.array([3, 4], np.int16)
+    np.testing.assert_array_equal(np.asarray(zarr_min.open(p2, "r")), [3, 4])
+
+
+def test_map_writer_fresh_zarr_pins_resume_counter(tmp_path):
+    """A non-resume MapWriter must leave frames_done=0 on disk immediately,
+    so a crash during the (minutes-long) first compile resumes from 0."""
+    cfg = _cfg(tmp_path)
+    MapWriter(cfg, 6).close()
+    z = zarr_min.open(cfg.range_doppler_map_fname, "r")
+    assert int(z.attrs.get("frames_done", -1)) == 0
+
+
 def test_map_writer_zarr_resume_and_load(tmp_path):
     cfg = _cfg(tmp_path)
     assert zarr_backend() is zarr_min   # zarr package absent here
