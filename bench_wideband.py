@@ -85,6 +85,23 @@ def main():
     float(acc)
     elapsed = time.time() - t0
 
+    # channelizer-only share: the shmap wideband path replicates the
+    # channelizer on every device (wideband.py), a design choice that is
+    # only defensible if the channelizer is a small fraction of per-CPI time
+    from passiveradar_tpu.ops.channelizer import channelize_pair
+    chan = jax.jit(lambda r, s: channelize_pair(r, s, cfg.wideband_channels,
+                                                cfg.wideband_taps_per_branch))
+    rc, _ = chan(ref[0], srv[0])
+    float(summ(rc, jnp.float32(0.0)))
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for i in range(reps):
+        rc, sc = chan(ref[0] if i % 2 else ref2[0],
+                      srv[0] if i % 2 else srv2[0])
+        acc = summ(rc, acc)
+    float(acc)
+    chan_ms = (time.time() - t0) / reps * 1000.0
+
     cpi_per_s = reps * batch / elapsed
     realtime = cpi_per_s * cfg.cpi_seconds_actual
     print(json.dumps({
@@ -93,11 +110,15 @@ def main():
         "unit": "CPI/s",
         "vs_baseline": round(realtime, 2),
     }))
+    full_ms = elapsed / reps * 1000.0
     print(f"# geometry: {cfg.wideband_channels} ch x "
           f"{cfg.num_doppler_cells}x{cfg.num_range_cells + 1} maps from "
           f"{n}-sample wideband CPIs; batch={batch}; "
           f"{cpi_per_s * n / 1e6:.0f} Msamples/s/chip; gen={gen_s:.1f}s "
           f"compile={compile_s:.1f}s run={elapsed:.2f}s", file=sys.stderr)
+    print(f"# channelizer alone (1 CPI pair): {chan_ms:.2f} ms = "
+          f"{chan_ms / (full_ms / batch) * 100:.1f}% of per-CPI time "
+          f"(shmap replication cost share)", file=sys.stderr)
 
 
 if __name__ == "__main__":

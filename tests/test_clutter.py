@@ -116,6 +116,10 @@ def test_ls_filter_multiple_solver_equivalence(rng):
     b = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1),
                                       solver="cholesky"))
     assert np.max(np.abs(a - b)) < 2e-3 * np.max(np.abs(srv))
+    for sv in ("gs_dense", "gs_matrix"):
+        c = np.asarray(ls_filter_multiple(ref, srv, flen, fs, (0, 1, -1),
+                                          solver=sv))
+        assert np.max(np.abs(a - c)) < 2e-3 * np.max(np.abs(srv)), sv
 
 
 def test_ls_filter_multiple_zero_frame_guard():
@@ -128,7 +132,7 @@ def test_ls_filter_multiple_zero_frame_guard():
     assert np.max(np.abs(out)) == 0.0
 
 
-@pytest.mark.parametrize("solver", ["levinson", "cholesky"])
+@pytest.mark.parametrize("solver", ["levinson", "cholesky", "gs_dense", "gs_matrix"])
 def test_ls_filter_multiple_matches_sequential_oracle(rng, solver):
     n, flen = 4096, 16
     fs = 4096.0

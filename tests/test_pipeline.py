@@ -473,11 +473,29 @@ def test_shmap_program_emits_exactly_four_ppermutes(tiny_cfg):
     ref = jnp.zeros((n_frames, lc, 2), jnp.float32)
     ph = jnp.zeros((n_frames,), jnp.float32)
     hlo = fn.lower(ref, ref, ph).compile().as_text()
-    # count distinct collective-permute ops (async pairs count once)
-    starts = re.findall(r"collective-permute-start", hlo)
-    plain = re.findall(r"= \S+ collective-permute\(", hlo)
-    count = len(starts) if starts else len(plain)
-    assert count == 4, f"expected 4 collective-permutes, found {count}"
+    # count distinct collective-permute ops (async pairs count once) and
+    # extract each one's result shape
+    shapes = re.findall(
+        r"= \(?(\w+)\[([\d,]*)\][^=]*? collective-permute(?:-start)?\(", hlo)
+    starts = [s for s in re.findall(
+        r"= \(?(\w+)\[([\d,]*)\][^=]*? (collective-permute(?:-start)?)\(",
+        hlo) if s[2].endswith("start")]
+    if starts:
+        shapes = [(d, s) for d, s, _ in starts]
+    assert len(shapes) == 4, f"expected 4 collective-permutes, got {shapes}"
+    # byte budget: each permute moves one frame-edge halo of window_overlap
+    # complex64 samples — 4·depth·8 bytes per step total, independent of
+    # device count (the docs/SCALING.md efficiency argument)
+    itemsize = {"c64": 8, "f32": 4, "f64": 8, "c128": 16}
+    total = 0
+    for dt, dims in shapes:
+        n = 1
+        for d in dims.split(","):
+            n *= int(d)
+        total += n * itemsize[dt]
+    assert total == 4 * cfg.window_overlap * 8, (
+        f"halo byte budget changed: {shapes} -> {total} B, expected "
+        f"{4 * cfg.window_overlap * 8}")
 
 
 def test_run_capture_sharded_routes_through_shmap(tiny_cfg, tmp_path,
@@ -540,3 +558,35 @@ def test_env_gates_key_the_jit_caches(tiny_cfg, monkeypatch):
     assert pl._clutter_jit._cache_size() == n1 + 1, (
         "flipped env gate did not retrace")
     assert n1 == n0 + 1
+
+
+def test_strict_parity_metadata_replicates_reference_axes(tiny_cfg, tmp_path):
+    """Under strict_frame_parity the .npz axes must byte-match what the
+    reference writes (main.py:200-206), INCLUDING its doubled doppler_bins
+    axis (a factor-of-2 metadata bug, replicated only in strict mode)."""
+    import dataclasses
+
+    cfg = tiny_cfg
+    nfr = 5
+    # reference oracle, transcribed from /root/reference/main.py:200-206
+    # (xambg.shape = (num_doppler_cells, num_range_cells+1, frames))
+    ref_ts = np.arange(nfr) * cfg.frame_interval
+    ref_rb = np.arange(cfg.num_range_cells + 1) * cfg.range_cell_width
+    ref_db = np.arange(-cfg.num_doppler_cells,
+                       cfg.num_doppler_cells) * cfg.doppler_cell_width
+
+    strict = dataclasses.replace(cfg, strict_frame_parity=True)
+    p = str(tmp_path / "meta_strict.npz")
+    write_metadata(strict, nfr, p)
+    z = np.load(p)
+    np.testing.assert_array_equal(z["frame_timestamps"], ref_ts)
+    np.testing.assert_array_equal(z["range_bins"], ref_rb)
+    np.testing.assert_array_equal(z["doppler_bins"], ref_db)
+
+    # default mode writes the CORRECT axis: num_doppler_cells rows, zero
+    # Doppler exactly at the centre row
+    p2 = str(tmp_path / "meta_default.npz")
+    write_metadata(cfg, nfr, p2)
+    db = np.load(p2)["doppler_bins"]
+    assert db.shape == (cfg.num_doppler_cells,)
+    assert db[cfg.num_doppler_cells // 2] == 0.0
