@@ -98,6 +98,35 @@ def main():
           f"gen={gen_s:.1f}s compile={compile_s:.1f}s run={elapsed:.2f}s "
           f"devices={jax.devices()}", file=sys.stderr)
 
+    # secondary: steady-state DEVICE throughput — the same reps inside one
+    # program (lax.scan), which excludes this container's ~2.5 ms relay
+    # per-dispatch overhead (measured: a bare x+1 dispatch costs 2.5 ms
+    # here; see docs/PERFORMANCE.md "Measurement method note"). The
+    # headline above stays the host-loop number for cross-round
+    # comparability; this line records what the chip itself sustains.
+    from passiveradar_tpu.pipeline import _process_frames_jit, _routing_key
+
+    refs = jnp.stack([ref, ref2])
+    srvs = jnp.stack([srv, srv2])
+    routing = _routing_key()
+
+    @jax.jit
+    def steady(refs, srvs, phases):
+        def step(acc, i):
+            out = _process_frames_jit(refs[i], srvs[i], phases, cfg, routing)
+            return acc + jnp.sum(jnp.abs(out)), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(reps, dtype=jnp.int32) % 2)
+        return acc
+
+    float(steady(refs, srvs, phases))          # compile + warm
+    t0 = time.time()
+    float(steady(refs, srvs, phases))
+    steady_s = time.time() - t0
+    print(f"# steady-state (single-dispatch scan of {reps} reps): "
+          f"{reps * batch / steady_s:.1f} frames/s "
+          f"({steady_s / reps * 1000:.2f} ms/batch)", file=sys.stderr)
+
 
 if __name__ == "__main__":
     child_or_retry(main)

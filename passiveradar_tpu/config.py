@@ -81,6 +81,10 @@ class RadarConfig:
     # residual carry), 'coupled' (precoupled batched bins), 'segment'
     # (segment-Gram — the exactness oracle; slower, see docs/PERFORMANCE.md)
     clutter_impl: str = "carry"
+    # per-bin Toeplitz solver: 'levinson' (G-S apply via small FFT convs),
+    # 'gs_dense' (Levinson + dense G-S inverse, one matvec per bin),
+    # 'cholesky' (dense factorisation)
+    clutter_solver: str = "levinson"
     nlms_mu: float = 0.05                # step size for the nlms methods
     caf_window: tuple = ("kaiser", 5.0)              # reference main.py:183
     caf_short_filt: bool = True          # boxcar vs flattop Doppler decimator
@@ -145,8 +149,8 @@ _RAW_KEYS = {
     "output_fname", "num_frames", "input_sample_rate", "input_center_freq",
     "channel_freq", "channel_bandwidth", "cpi_seconds_nominal",
     "max_doppler_nominal", "max_range_nominal", "overlap_cpi",
-    "clutter_doppler_bins", "clutter_method", "clutter_impl", "nlms_mu",
-    "caf_window",
+    "clutter_doppler_bins", "clutter_method", "clutter_impl",
+    "clutter_solver", "nlms_mu", "caf_window",
     "caf_short_filt", "frame_batch", "max_measurements", "int16_scale",
     "wideband_channels", "wideband_channel_select", "wideband_taps_per_branch",
     "strict_frame_parity",

@@ -8,7 +8,9 @@ plus an .npz with frame_timestamps / range_bins / doppler_bins axes.
 
 Divergence (documented): the reference writes a doppler_bins axis with twice
 the frame's Doppler rows (main.py:202-203, a factor-of-2 metadata bug); we
-write the correct length-num_doppler_cells axis centred on zero.
+write the correct length-num_doppler_cells axis centred on zero — except
+under cfg.strict_frame_parity, which replicates the doubled axis so a strict
+run byte-diffs cleanly against a reference run.
 """
 
 from __future__ import annotations
@@ -43,11 +45,18 @@ CONCAT_SLAB_FRAMES = 64
 def write_metadata(cfg: RadarConfig, num_frames: int, path: str | None = None):
     path = path or cfg.meta_fname
     nf = cfg.num_doppler_cells
+    if cfg.strict_frame_parity:
+        # byte-diffable against a reference run: replicate its doppler_bins
+        # axis with 2x the frame's Doppler rows (reference main.py:202-203,
+        # a factor-of-2 metadata bug — kept ONLY under strict parity)
+        doppler_bins = np.arange(-nf, nf) * cfg.doppler_cell_width
+    else:
+        doppler_bins = (np.arange(nf) - nf // 2) * cfg.doppler_cell_width
     np.savez(
         path,
         frame_timestamps=np.arange(num_frames) * cfg.frame_interval,
         range_bins=np.arange(cfg.num_range_cells + 1) * cfg.range_cell_width,
-        doppler_bins=(np.arange(nf) - nf // 2) * cfg.doppler_cell_width,
+        doppler_bins=doppler_bins,
     )
 
 

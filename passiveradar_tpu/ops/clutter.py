@@ -34,6 +34,13 @@ from passiveradar_tpu.ops.mxufft import dft_matmul, fft_auto, ifft_auto, use_mxu
 from passiveradar_tpu.ops.zoomfft import partial_ifft, sparse_fft
 
 
+# unroll factor for the sequential per-Doppler-bin scan in the carry impl
+# (trace-time; module-level so benchmarks can sweep it). The bins are truly
+# serial, but unrolling removes while-loop overhead and lets XLA schedule
+# independent sub-chains across iterations.
+BIN_SCAN_UNROLL = 1
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -185,18 +192,61 @@ def gs_apply(fx: jnp.ndarray, fy: jnp.ndarray, delta: jnp.ndarray,
     A·u / Aᴴ·v are causal convolution / correlation with the generator
     column, so each product is one padded FFT multiply; everything is
     batched and O(m log m) — the per-bin solve inside the clutter scan
-    never touches an m×m matrix.
+    never touches an m×m matrix. The A- and B-generator paths are
+    independent, so they run stacked (one transform of 2× the batch instead
+    of two): the whole apply is 4 transform dispatches (fv, stacked ifft,
+    stacked fft, stacked ifft) — the scan body is dispatch-latency-bound,
+    not arithmetic-bound, at m ≈ 200.
     """
     m = v.shape[-1]
     fft_len = fx.shape[-1]
     fv = fft_auto(v, fft_len, axis=-1)
-    ahv = ifft_auto(jnp.conj(fx) * fv, axis=-1)[..., :m]
-    aa = ifft_auto(fx * fft_auto(ahv, fft_len, axis=-1),
-                   axis=-1)[..., :m]
-    bhv = ifft_auto(jnp.conj(fy) * fv, axis=-1)[..., :m]
-    bb = ifft_auto(fy * fft_auto(bhv, fft_len, axis=-1),
-                   axis=-1)[..., :m]
-    return ((aa - bb) / delta[..., None].astype(aa.dtype)).astype(v.dtype)
+    fg = jnp.stack([fx, fy])                       # (2, ..., fft_len)
+    hv = ifft_auto(jnp.conj(fg) * fv[None], axis=-1)[..., :m]
+    prod = ifft_auto(fg * fft_auto(hv, fft_len, axis=-1), axis=-1)[..., :m]
+    return ((prod[0] - prod[1])
+            / delta[..., None].astype(prod.dtype)).astype(v.dtype)
+
+
+def gs_dense_inverse(x: jnp.ndarray) -> jnp.ndarray:
+    """Dense T⁻¹ from the Levinson first column x (Gohberg-Semencul).
+
+    T⁻¹ = (A·Aᴴ − B·Bᴴ)/δ with A = lower-triangular Toeplitz(x),
+    B = lower-triangular Toeplitz([0, conj(x[m−1]), …, conj(x[1])]),
+    δ = x[0] (real). Batched over leading axes. At the pipeline's m ≈ 200
+    the per-bin scan solve then collapses to ONE batched matvec — the
+    FFT-space gs_apply is asymptotically cheaper but costs 4 sequential
+    transform dispatches inside the latency-bound bin scan.
+    """
+    m = x.shape[-1]
+    d = np.arange(m)[:, None] - np.arange(m)[None, :]
+    lower = jnp.asarray(d >= 0)
+    idx = jnp.asarray(np.maximum(d, 0))
+    a = jnp.where(lower, x[..., idx], 0)
+    y = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), x.dtype),
+         jnp.conj(jnp.flip(x[..., 1:], -1))], axis=-1)
+    b = jnp.where(lower, y[..., idx], 0)
+
+    # G·conj(G)ᵀ on split f32 planes with the 3-mult complex product at
+    # HIGH (bf16x3) — a complex-dtype einsum at HIGHEST lowers to 4 real
+    # matmuls of 6 bf16 passes each and measured ~2 ms slower here
+    def gram(g):
+        gr = jnp.real(g).astype(jnp.float32)
+        gi = jnp.imag(g).astype(jnp.float32)
+        ein = functools.partial(jnp.einsum, "...ij,...kj->...ik",
+                                precision=jax.lax.Precision.HIGH,
+                                preferred_element_type=jnp.float32)
+        m1 = ein(gr, gr)
+        m2 = ein(gi, gi)
+        m3 = ein(gr + gi, gr - gi)   # = m1 − m2 + (gi·grᵀ − gr·giᵀ)
+        # g·conj(g)ᵀ: re = gr·grᵀ + gi·giᵀ,  im = gi·grᵀ − gr·giᵀ
+        return m1 + m2, m3 - m1 + m2
+
+    ar_, ai_ = gram(a)
+    br_, bi_ = gram(b)
+    inv = jax.lax.complex(ar_ - br_, ai_ - bi_).astype(jnp.complex64)
+    return inv / x[..., 0:1, None].real.astype(inv.dtype)
 
 
 def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray,
@@ -290,11 +340,14 @@ def ls_filter_toeplitz(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
 
 def _modulated_ref_spectra(ref, n: int, m: int, peek: int, sample_rate: float,
-                           doppler_bins):
+                           doppler_bins, extra=None):
     """Spectra, heads and tails of the per-bin modulated references.
 
     Returns (f_rs_all, heads, tails): the FFT of roll(ref·e^{j2πf_b t}, -peek)
-    for every Doppler bin, plus its first/last m time-domain samples.
+    for every Doppler bin, plus its first/last m time-domain samples. When
+    ``extra`` (a (k, n) row stack) is given, its forward spectra ride the
+    same batched transform — one deeper MXU-DFT call instead of separate
+    dispatches — and a fourth element f_extra is returned.
 
     Fast path: for integer bin shifts k (f_b·T cycles over the chunk ≈ an
     integer — true for every near-integer-second CPI, including the reference
@@ -340,17 +393,24 @@ def _modulated_ref_spectra(ref, n: int, m: int, peek: int, sample_rate: float,
         rs_all = jnp.roll(ref[None, :] * jax.lax.complex(jnp.cos(theta),
                                                          jnp.sin(theta)),
                           -peek, axis=1)
+        if extra is not None:
+            stacked = fft_auto(jnp.concatenate([rs_all, extra]), axis=1)
+            return stacked[:nb], heads, tails, stacked[nb:]
         return fft_auto(rs_all, axis=1), heads, tails
 
     w = 2.0 * np.pi / n
     tdev = jnp.arange(n, dtype=jnp.float32)
-    # one batched transform for all base spectra (2-3 rows) instead of
-    # separate full-length calls — the MXU DFT then runs one kernel set
-    # over a deeper batch
+    # one batched transform for all base spectra (2-3 rows, plus any extra
+    # rows the caller wants transformed) instead of separate full-length
+    # calls — the MXU DFT then runs one kernel set over a deeper batch
     rows = [ref, ref * tdev]
     if order == 2:
         rows.append(ref * (tdev * tdev))
-    fb = fft_auto(jnp.stack(rows), axis=-1)
+    nbase = len(rows)
+    stacked = jnp.stack(rows) if extra is None else jnp.concatenate(
+        [jnp.stack(rows), extra])
+    fb = fft_auto(stacked, axis=-1)
+    f_extra = None if extra is None else fb[nbase:]
     f0, f1 = fb[0], fb[1]
     f2 = fb[2] if order == 2 else None
     ramp = jnp.asarray(np.exp(
@@ -363,7 +423,10 @@ def _modulated_ref_spectra(ref, n: int, m: int, peek: int, sample_rate: float,
         if order == 2:
             y = y - np.float32(0.5 * (w * d) ** 2) * jnp.roll(f2, k)
         ys.append(y)
-    return ramp[None, :] * jnp.stack(ys), heads, tails
+    f_rs_all = ramp[None, :] * jnp.stack(ys)
+    if extra is not None:
+        return f_rs_all, heads, tails, f_extra
+    return f_rs_all, heads, tails
 
 
 def _solver_data(ac_all: jnp.ndarray, m: int, solver: str):
@@ -384,6 +447,40 @@ def _solver_data(ac_all: jnp.ndarray, m: int, solver: str):
         def apply_inv(sd, cc):
             fx, fy, delta = sd
             return gs_apply(fx, fy, delta, cc)
+    elif solver == "gs_matrix":
+        # Levinson + dense T⁻¹ assembled by applying the G-S generators to
+        # the m-column identity in ONE batched 4-transform round (every bin
+        # and basis vector rides the same dft_matmuls — deep, MXU-friendly,
+        # gather-free). The scan's per-bin solve is then a single batched
+        # matvec instead of gs_apply's 4 sequential tiny-transform
+        # dispatches (measured 2.1 ms of the 5-bin stage, the largest
+        # single contributor — see docs/PERFORMANCE.md ablation).
+        x_all = levinson_first_col(ac_all)
+        fft_m = _next_pow2(2 * m)
+        fx_all, fy_all, delta_all = gs_generators(x_all, fft_m)
+        eye = jnp.eye(m, dtype=jnp.complex64)
+        # rows of w_b are T_b⁻¹ applied to basis vectors: w_b[i] = T_b⁻¹ eᵢ
+        w_all = jax.vmap(
+            lambda fx, fy, dl: gs_apply(fx[None, :], fy[None, :], dl[None],
+                                        eye))(fx_all, fy_all, delta_all)
+        xs = (w_all,)
+
+        def apply_inv(sd, cc):
+            # T⁻¹ is Hermitian; w rows are its columns transposed
+            return jnp.einsum("ba,b->a", sd[0], cc,
+                              precision=jax.lax.Precision.HIGHEST)
+    elif solver == "gs_dense":
+        # Levinson factorisation + DENSE Gohberg-Semencul inverse assembly
+        # (batched, outside the scan): the per-bin solve inside the
+        # latency-bound scan is then a single matvec instead of gs_apply's
+        # 4-dispatch transform chain
+        x_all = levinson_first_col(ac_all)
+        inv_all = gs_dense_inverse(x_all)
+        xs = (inv_all,)
+
+        def apply_inv(sd, cc):
+            return jnp.einsum("ij,j->i", sd[0], cc,
+                              precision=jax.lax.Precision.HIGHEST)
     elif solver == "cholesky":
         inv_all = jax.vmap(_toeplitz_inverse_c)(ac_all)
         xs = (inv_all,)
@@ -433,9 +530,11 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     # reference channel — never on the surveillance residual — so every bin's
     # autocorrelation and solve generators are computed up front in one
     # batched shot; the sequential scan then only does the cheap per-bin work
-    # (cross-correlation, generator solves, clutter subtraction).
-    f_rs_all, heads, tails = _modulated_ref_spectra(
-        ref, n, m, peek, sample_rate, doppler_bins)
+    # (cross-correlation, generator solves, clutter subtraction). The
+    # surveillance channel's forward spectrum rides the same batched
+    # transform (extra row) — one deeper MXU-DFT dispatch.
+    f_rs_all, heads, tails, f_extra = _modulated_ref_spectra(
+        ref, n, m, peek, sample_rate, doppler_bins, extra=srv[None, :])
     ac_all = partial_ifft(f_rs_all * jnp.conj(f_rs_all), m) \
         - jax.vmap(lambda a, b: _tri_corr_wrap(a, b, m))(heads, tails)
     # vanishing diagonal guard: relative 1e-25 is rounded away entirely for
@@ -457,7 +556,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     # m-sparse time-domain head correction (cur = ifft(f_cur) + corr on the
     # first m samples), so each bin needs only zoom-FFT work — no full
     # N-point transform ever runs inside the bin loop.
-    f_cur0 = fft_auto(srv)
+    f_cur0 = f_extra[0]
     head0 = srv[:m]          # ifft(f_cur0)[:m] — the corr part starts at zero
 
     def body(carry, xs):
@@ -484,7 +583,7 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
     (f_cur, _, corr), _ = jax.lax.scan(
         body, (f_cur0, head0, head0 * 0),
-        (f_rs_all, tails, solve_xs, r_all))
+        (f_rs_all, tails, solve_xs, r_all), unroll=BIN_SCAN_UNROLL)
     out = ifft_auto(f_cur)
     out = out.at[:m].add(corr)
     return out.astype(jnp.complex64)

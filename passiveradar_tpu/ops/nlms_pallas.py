@@ -60,58 +60,90 @@ def _nlms_kernel(mask, ra_r, ra_i, rb_r, rb_i, sv_r, sv_i,
 
     m = mask[:]                      # (1, mp): 1 for real taps, 0 for padding
     lanes = 128
-    is_last_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (1, lanes), 1) == lanes - 1
+    append_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1, mp), 1) == mp - 1
+    step_lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
 
     def _left1(x):
         # lane roll left by one == pltpu.roll right by width-1
         return pltpu.roll(x, x.shape[-1] - 1, axis=1)
 
+    def _cumsum_lanes(x):
+        # inclusive prefix sum over the 128 step lanes: log-step
+        # shift-right-and-add (pltpu.roll is cyclic, so wrapped lanes are
+        # masked to zero before each add)
+        n = x.shape[-1]
+        k = 1
+        while k < n:
+            shifted = pltpu.roll(x, k, axis=1)
+            x = x + jnp.where(step_lane >= k, shifted, 0.0)
+            k *= 2
+        return x
+
     def chunk(c, _):
         off = pl.multiple_of(c * lanes, lanes)
-        # Mosaic restriction: dynamic lane offsets must be 128-aligned, so
-        # scalars are extracted by rolling per-chunk registers — lane 0 is
-        # always "now".
         sv_cr = sv_r[:, pl.ds(off, lanes)]
         sv_ci = sv_i[:, pl.ds(off, lanes)]
         la_r = buf_r[:, pl.ds(off + mp, lanes)]   # lookahead appends
         la_i = buf_i[:, pl.ds(off + mp, lanes)]
+        ur = u_r[:]
+        ui = u_i[:]
+        wr_ = wr[:]
+        wi_ = wi[:]
+
+        # ---- per-chunk precompute: the whole scalar chain, vectorised ----
+        # u·uᴴ for every step of the chunk from one exact chunk-start norm
+        # plus a prefix sum of per-step deltas: step j drops window lane j
+        # and gains the lane sliding into the masked region (old lane
+        # m_taps+j — u's own tail lanes already hold the lookahead stream,
+        # extended by la for the last steps). Exact recompute each chunk
+        # bounds the incremental float drift to 128 steps (≲1e-5 relative,
+        # far inside the kernel's 2e-3 parity tolerance).
+        uu0 = jnp.sum((ur * ur + ui * ui) * m, axis=1, keepdims=True)
+        ext_r = jnp.concatenate([ur, la_r], axis=1)
+        ext_i = jnp.concatenate([ui, la_i], axis=1)
+        add_r = jax.lax.slice_in_dim(ext_r, m_taps, m_taps + lanes, axis=1)
+        add_i = jax.lax.slice_in_dim(ext_i, m_taps, m_taps + lanes, axis=1)
+        drop_r = jax.lax.slice_in_dim(ur, 0, lanes, axis=1)
+        drop_i = jax.lax.slice_in_dim(ui, 0, lanes, axis=1)
+        delta = (add_r * add_r + add_i * add_i) \
+            - (drop_r * drop_r + drop_i * drop_i)
+        csum = _cumsum_lanes(delta)
+        # exclusive prefix: uu at step j includes deltas of steps < j only
+        # (cyclic roll right by one, wrapped lane 0 masked to zero)
+        uu_all = uu0 + jnp.where(step_lane >= 1,
+                                 pltpu.roll(csum, 1, axis=1), 0.0)
+        # gate off the tail-padding steps so final taps stay exact
+        active = ((base + off + step_lane) < steps).astype(jnp.float32)
+        scale_all = mu * active / jnp.maximum(uu_all, 1e-30)
+
         o_r = jnp.zeros_like(sv_cr)
         o_i = jnp.zeros_like(sv_ci)
 
-        def step(j, carry):
-            sv_cr, sv_ci, la_r, la_i, o_r, o_i = carry
-            ur = u_r[:]
-            ui = u_i[:]
-            wr_ = wr[:]
-            wi_ = wi[:]
+        # ---- statically-unrolled steps: lane indices are compile-time, so
+        # the per-step scalar extractions are slices, not register rolls ----
+        for j in range(lanes):
             # e = d - wᴴu (w is zero outside the mask)
             dot_r = jnp.sum(wr_ * ur + wi_ * ui, axis=1, keepdims=True)
             dot_i = jnp.sum(wr_ * ui - wi_ * ur, axis=1, keepdims=True)
-            er = sv_cr[:, 0:1] - dot_r                        # (B, 1)
-            ei = sv_ci[:, 0:1] - dot_i
-            uu = jnp.sum((ur * ur + ui * ui) * m, axis=1, keepdims=True)
-            # gate off the tail-padding steps so final taps stay exact
-            active = ((base + off + j) < steps).astype(jnp.float32)
-            scale = (mu * active / jnp.maximum(uu, 1e-30)) * m
-            # w ← w + mu·u·conj(e)/uᴴu
-            wr[:] = wr_ + (ur * er + ui * ei) * scale
-            wi[:] = wi_ + (ui * er - ur * ei) * scale
-            # slide the window one sample; append the lookahead's lane 0
-            nu_r = _left1(ur)
-            nu_i = _left1(ui)
-            u_r[:] = nu_r
-            u_i[:] = nu_i
-            u_r[:, mp - 1:mp] = la_r[:, 0:1]
-            u_i[:, mp - 1:mp] = la_i[:, 0:1]
-            # collect the error at the output chunk's rolling tail
-            o_r = jnp.where(is_last_lane, er, _left1(o_r))
-            o_i = jnp.where(is_last_lane, ei, _left1(o_i))
-            return (_left1(sv_cr), _left1(sv_ci), _left1(la_r), _left1(la_i),
-                    o_r, o_i)
+            er = sv_cr[:, j:j + 1] - dot_r                    # (B, 1)
+            ei = sv_ci[:, j:j + 1] - dot_i
+            # w ← w + mu·u·conj(e)/uᴴu  (masked to the real taps)
+            t1 = er * scale_all[:, j:j + 1]
+            t2 = ei * scale_all[:, j:j + 1]
+            wr_ = wr_ + (ur * t1 + ui * t2) * m
+            wi_ = wi_ + (ui * t1 - ur * t2) * m
+            # slide the window one sample; append the lookahead's lane j
+            ur = jnp.where(append_lane, la_r[:, j:j + 1], _left1(ur))
+            ui = jnp.where(append_lane, la_i[:, j:j + 1], _left1(ui))
+            # collect the error into this step's output lane
+            o_r = jnp.where(step_lane == j, er, o_r)
+            o_i = jnp.where(step_lane == j, ei, o_i)
 
-        sv_cr, sv_ci, la_r, la_i, o_r, o_i = jax.lax.fori_loop(
-            0, lanes, step, (sv_cr, sv_ci, la_r, la_i, o_r, o_i))
+        wr[:] = wr_
+        wi[:] = wi_
+        u_r[:] = ur
+        u_i[:] = ui
         er_out[:, pl.ds(off, lanes)] = o_r
         ei_out[:, pl.ds(off, lanes)] = o_i
         return 0
@@ -193,6 +225,12 @@ def nlms_filter_pallas(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
             pltpu.VMEM((b, block + mp), jnp.float32),
             pltpu.VMEM((b, block + mp), jnp.float32),
         ],
+        # the statically-unrolled chunk loop keeps the window/taps/output
+        # registers plus per-chunk precompute live across 128 steps; at
+        # B=128 the kernel's scoped-VMEM stack is ~27 MB, above the 16 MB
+        # default — raise it (v5e VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mask, *planes)
 

@@ -95,12 +95,13 @@ def _routing_key(manual: bool = False) -> tuple:
     retraces instead of silently reusing a program compiled under the old
     setting. ``manual=True`` evaluates the gates as a shard_map body will
     see them (inside a manual region)."""
-    from passiveradar_tpu.ops import fft_pallas, mxufft, resample_pallas
+    from passiveradar_tpu.ops import clutter, fft_pallas, mxufft, resample_pallas
     ctx = resample_pallas.manual_region() if manual else (
         contextlib.nullcontext())
     with ctx:
         return (mxufft.use_mxu(), fft_pallas.use_fused(),
-                resample_pallas.use_pallas_resample())
+                resample_pallas.use_pallas_resample(),
+                clutter.BIN_SCAN_UNROLL)
 
 
 _preprocess_jit = jax.jit(
@@ -135,7 +136,8 @@ def _clutter_impl(ref: jnp.ndarray, srv: jnp.ndarray,
         raise ValueError(f"unknown clutter_method {method!r}")
     fn = lambda r, s: ls_filter_multiple(
         r, s, cfg.num_range_cells, cfg.IF_sample_rate,
-        cfg.clutter_doppler_bins, impl=cfg.clutter_impl)
+        cfg.clutter_doppler_bins, impl=cfg.clutter_impl,
+        solver=cfg.clutter_solver)
     return jax.vmap(fn)(ref, srv)
 
 
