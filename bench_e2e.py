@@ -174,4 +174,4 @@ def main():
 
 
 if __name__ == "__main__":
-    child_or_retry(main)
+    child_or_retry(main, attempts=2, timeout_s=3600.0)
