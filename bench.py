@@ -38,7 +38,8 @@ def main():
 
     from passiveradar_tpu.config import derive_config
     from passiveradar_tpu.io.synthetic import Target, synth_capture_device
-    from passiveradar_tpu.pipeline import frame_phases, process_frames
+    from passiveradar_tpu.pipeline import (frame_phases, process_frames,
+                                           process_frames_groups)
 
     params = dict(
         input_sample_rate=2_400_000,
@@ -68,20 +69,28 @@ def main():
     # block_until_ready alone is unreliable through remote-relay backends
     summ = jax.jit(lambda x, a: a + jnp.sum(jnp.abs(x)))
 
+    # the production host loop dispatches GROUPS batches per device program
+    # (pipeline.process_frames_groups — a lax.scan amortising fixed launch
+    # overhead; run_capture(dispatch_groups=...) is the same path), so the
+    # headline measures that granularity: reps/GROUPS dispatches
+    groups = 8
+    refs = jnp.stack([ref, ref2] * (groups // 2))
+    srvs = jnp.stack([srv, srv2] * (groups // 2))
+    phg = jnp.broadcast_to(phases, (groups,) + phases.shape)
+
     # warm-up / compile
     t0 = time.time()
-    out = process_frames(ref, srv, phases, cfg)
+    out = process_frames_groups(refs, srvs, phg, cfg)
     float(summ(out, jnp.float32(0.0)))
     compile_s = time.time() - t0
 
-    # steady state: alternate two input sets, chain through an on-device
-    # accumulator, fetch once at the end
-    reps = 16
+    # steady state: alternate two input sets inside each group's stack,
+    # chain through an on-device accumulator, fetch once at the end
+    reps = 32
     t0 = time.time()
     acc = jnp.float32(0.0)
-    for i in range(reps):
-        out = process_frames(ref if i % 2 else ref2,
-                             srv if i % 2 else srv2, phases, cfg)
+    for i in range(reps // groups):
+        out = process_frames_groups(refs, srvs, phg, cfg)
         acc = summ(out, acc)
     float(acc)
     elapsed = time.time() - t0
@@ -95,6 +104,7 @@ def main():
     }))
     print(f"# geometry: {cfg.num_doppler_cells}x{cfg.num_range_cells + 1} "
           f"maps from {cfg.cpi_samples}-sample CPIs; batch={batch}; "
+          f"dispatch_groups={groups}; "
           f"gen={gen_s:.1f}s compile={compile_s:.1f}s run={elapsed:.2f}s "
           f"devices={jax.devices()}", file=sys.stderr)
 

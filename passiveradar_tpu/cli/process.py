@@ -19,6 +19,9 @@ def main(argv=None):
     p = parser("PASSIVE RADAR - MAIN PROCESSING")
     p.add_argument("--batch-frames", type=int, default=None,
                    help="Frames per device dispatch (default: cfg.frame_batch)")
+    p.add_argument("--dispatch-groups", type=int, default=1,
+                   help="Batches per device program (lax.scan; amortises "
+                        "launch overhead; single-device path only)")
     p.add_argument("--shard", action="store_true",
                    help="Shard the frame batch across all local devices")
     p.add_argument("--resume", action="store_true",
@@ -75,10 +78,12 @@ def main(argv=None):
         import jax
         with jax.profiler.trace(args.profile):
             n = run_capture(reader, writer, cfg,
-                            batch_frames=args.batch_frames, sharding=sharding)
+                            batch_frames=args.batch_frames, sharding=sharding,
+                            dispatch_groups=args.dispatch_groups)
     else:
         n = run_capture(reader, writer, cfg, batch_frames=args.batch_frames,
-                        sharding=sharding)
+                        sharding=sharding,
+                        dispatch_groups=args.dispatch_groups)
     writer.close()
     write_metadata(cfg, n)
     dt = time.time() - t0

@@ -219,14 +219,21 @@ def gs_dense_inverse(x: jnp.ndarray) -> jnp.ndarray:
     transform dispatches inside the latency-bound bin scan.
     """
     m = x.shape[-1]
-    d = np.arange(m)[:, None] - np.arange(m)[None, :]
-    lower = jnp.asarray(d >= 0)
-    idx = jnp.asarray(np.maximum(d, 0))
-    a = jnp.where(lower, x[..., idx], 0)
+    lead = x.shape[:-1]
+
+    def lower_toeplitz(v):
+        # L[j, t] = v[j-t] for j >= t: diagonal d = t-j ∈ [-(m-1), 0] holds
+        # v[-d] — gather-free skew build (see _skew_toeplitz)
+        e = jnp.concatenate(
+            [v[..., :1], jnp.zeros(lead + (m + 1,), v.dtype),
+             jnp.flip(v[..., 1:], -1)], axis=-1)
+        return _skew_toeplitz(e, m)
+
+    a = lower_toeplitz(x)
     y = jnp.concatenate(
-        [jnp.zeros(x.shape[:-1] + (1,), x.dtype),
+        [jnp.zeros(lead + (1,), x.dtype),
          jnp.conj(jnp.flip(x[..., 1:], -1))], axis=-1)
-    b = jnp.where(lower, y[..., idx], 0)
+    b = lower_toeplitz(y)
 
     # G·conj(G)ᵀ on split f32 planes with the 3-mult complex product at
     # HIGH (bf16x3) — a complex-dtype einsum at HIGHEST lowers to 4 real
@@ -270,6 +277,24 @@ def toeplitz_solve(c: jnp.ndarray, b: jnp.ndarray,
 # block least-squares clutter filters
 # --------------------------------------------------------------------------
 
+def _skew_toeplitz(e: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Gather-free Toeplitz build: H[..., j, t] = e[..., (t-j) mod (2m+1)].
+
+    ``e`` is the (..., 2m+1) diagonal table (entry d >= 0 at e[d], entry
+    d < 0 at e[2m+1+d]). Tiling e m times and reshaping with row stride 2m
+    skews each row one step right — row j of the (m, 2m) view starts at
+    flat offset j*2m ≡ -j (mod 2m+1) — so the first m columns hold every
+    diagonal with |d| < m. Pure broadcast/reshape/slice: XLA lowers it as
+    sequential copies, where the equivalent index-matrix gather was
+    measured at 0.57 ms per 8-frame clutter batch (docs/PERFORMANCE.md
+    ablation 2026-08-20).
+    """
+    lead = e.shape[:-1]
+    tiled = jnp.broadcast_to(e[..., None, :], lead + (m, 2 * m + 1))
+    flat = tiled.reshape(lead + (m * (2 * m + 1),))
+    return flat[..., :2 * m * m].reshape(lead + (m, 2 * m))[..., :m]
+
+
 def _tri_corr_wrap(a: jnp.ndarray, b: jnp.ndarray, m: int) -> jnp.ndarray:
     """Circular-correlation alias terms: w[j] = Σ_{t<j} a[t]·conj(b[t+m-j]).
 
@@ -277,12 +302,11 @@ def _tri_corr_wrap(a: jnp.ndarray, b: jnp.ndarray, m: int) -> jnp.ndarray:
     length-N circular correlation gives the exact linear (zero-padded)
     correlation without a 2N FFT.
     """
-    jj = np.arange(m)[:, None]
-    tt = np.arange(m)[None, :]
-    idx = tt + m - jj
-    h = jnp.where(jnp.asarray(idx < m),
-                  jnp.conj(b)[jnp.asarray(np.minimum(idx, m - 1))], 0)
-    return h @ a
+    # H[j, t] = conj(b)[t-j+m] for t < j, i.e. diagonal d = t-j ∈ [-(m-1), -1]
+    # holds conj(b)[m+d] — the d < 0 half of the _skew_toeplitz table
+    z = jnp.zeros(m + 2, b.dtype)
+    e = jnp.concatenate([z, jnp.conj(b[1:])])
+    return _skew_toeplitz(e, m) @ a
 
 
 def _tri_conv_wrap(taps: jnp.ndarray, tail: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -291,12 +315,12 @@ def _tri_conv_wrap(taps: jnp.ndarray, tail: jnp.ndarray, m: int) -> jnp.ndarray:
     tail = last m samples of the signal. Subtracting w from the first m
     samples of the length-N circular convolution gives the linear one.
     """
-    tt = np.arange(m)[:, None]
-    jj = np.arange(m)[None, :]
-    idx = m + tt - jj
-    h = jnp.where(jnp.asarray(idx < m),
-                  tail[jnp.asarray(np.minimum(idx, m - 1))], 0)
-    return h @ taps
+    # H[t, j] = tail[m-(j-t)] for j > t: diagonal d = j-t ∈ [1, m-1] holds
+    # tail[m-d] ⇒ e[d] = tail[m-d] (the d > 0 half), zero elsewhere
+    z1 = jnp.zeros(1, tail.dtype)
+    zr = jnp.zeros(m + 1, tail.dtype)
+    e = jnp.concatenate([z1, jnp.flip(tail[1:]), zr])
+    return _skew_toeplitz(e, m) @ taps
 
 
 def _toeplitz_ls_pass(rs: jnp.ndarray, srv: jnp.ndarray, m: int):
@@ -545,12 +569,13 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
     solve_xs, apply_inv = _solver_data(ac_all, m, solver)
 
     # Δcc kernels: R_b[j, t] = conj(rs_b[t-j]) for t ≥ j — the effect of a
-    # head-supported time correction on the first m correlation lags
-    jj = np.arange(m)[:, None]
-    tt = np.arange(m)[None, :]
-    didx = tt - jj
-    r_all = jnp.where(jnp.asarray(didx >= 0),
-                      jnp.conj(heads[:, jnp.asarray(np.maximum(didx, 0))]), 0)
+    # head-supported time correction on the first m correlation lags.
+    # Diagonal d = t-j ∈ [0, m-1] holds conj(heads[d]) (gather-free build,
+    # see _skew_toeplitz)
+    r_all = _skew_toeplitz(
+        jnp.concatenate([jnp.conj(heads),
+                         jnp.zeros((heads.shape[0], m + 1), heads.dtype)],
+                        axis=-1), m)
 
     # The surveillance residual is carried in the FREQUENCY domain plus an
     # m-sparse time-domain head correction (cur = ifft(f_cur) + corr on the

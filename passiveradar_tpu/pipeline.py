@@ -206,6 +206,40 @@ def process_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     return _process_frames_jit(raw_ref, raw_srv, phases, cfg, _routing_key())
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "_routing"))
+def _process_frames_groups_jit(raw_refs: jnp.ndarray, raw_srvs: jnp.ndarray,
+                               phases: jnp.ndarray, cfg: RadarConfig,
+                               _routing: tuple) -> jnp.ndarray:
+    def step(_, xs):
+        r, s, p = xs
+        ref = _preprocess_impl(r, p, cfg)
+        srv = _preprocess_impl(s, p, cfg)
+        srv_clean = _clutter_impl(ref, srv, cfg)
+        return None, _caf_batch_impl(ref, srv_clean, cfg)
+
+    _, maps = jax.lax.scan(step, None, (raw_refs, raw_srvs, phases))
+    return maps
+
+
+def process_frames_groups(raw_refs: jnp.ndarray, raw_srvs: jnp.ndarray,
+                          phases: jnp.ndarray, cfg: RadarConfig) -> jnp.ndarray:
+    """process_frames over G stacked batches in ONE dispatch (lax.scan).
+
+    raw_*: (G, F, ...) — G independent batches of F frames each (every batch
+    still self-contained halo-wise, exactly as G separate process_frames
+    calls). Returns (G, F, doppler, range+1) maps.
+
+    Every program launch costs fixed dispatch overhead (µs over PCIe, ~2.5 ms
+    through this container's tunnelled relay — docs/PERFORMANCE.md
+    measurement-method note); scanning G batches inside one program amortises
+    it by G while keeping the per-step live set at one batch's working set
+    (unlike widening F, which was measured slower: batch 16 → 375 frames/s vs
+    8 → 410). run_capture(dispatch_groups=G) and bench.py route through this.
+    """
+    return _process_frames_groups_jit(raw_refs, raw_srvs, phases, cfg,
+                                      _routing_key())
+
+
 @functools.lru_cache(maxsize=16)
 def _shmap_program(cfg: RadarConfig, mesh, axis_name: str, routing: tuple):
     """Build (and cache) the jitted shard_map pipeline for one (cfg, mesh).
@@ -300,7 +334,8 @@ def capture_frame_count(reader, cfg: RadarConfig) -> int:
 
 
 def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = None,
-                sharding=None, progress: bool = True):
+                sharding=None, progress: bool = True,
+                dispatch_groups: int = 1):
     """Host loop: stream a capture through the device pipeline in batches.
 
     reader: io.hdf5.CaptureReader-like object with ``num_frames`` and
@@ -310,6 +345,12 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
     Batches carry a one-frame margin on each side so the CPI-overlap halo at
     batch boundaries is exact (recomputed edge frames), matching a single
     whole-capture evaluation.
+
+    dispatch_groups=G > 1 dispatches G consecutive batches per device
+    program (process_frames_groups: a lax.scan, amortising fixed launch
+    overhead without widening the per-step live set); the final partial
+    group is zero-padded to keep one compiled shape. Single-device path
+    only — ignored under ``sharding``.
     """
     from passiveradar_tpu.io.hdf5 import PrefetchReader
 
@@ -370,7 +411,51 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
         if isinstance(sharding, NamedSharding) and len(sharding.mesh.shape) == 1:
             shmap_axis = next(iter(sharding.mesh.shape))
             shmap_mesh = sharding.mesh
+    groups = max(1, int(dispatch_groups)) if sharding is None else 1
     done = getattr(writer, "frames_done", 0)
+    pend: list = []   # accumulated (start, count, buf_ref, buf_srv, phases)
+
+    def flush_pending():
+        nonlocal done
+        if not pend:
+            return
+        g = len(pend)
+        if groups == 1:
+            start, count, ref_d, srv_d, ph_d = pend[0]
+            if sharding is not None:
+                ref_d = jax.device_put(ref_d, sharding)
+                srv_d = jax.device_put(srv_d, sharding)
+                ph_d = jax.device_put(ph_d, sharding)
+            if shmap_mesh is not None:
+                maps = process_frames_shmap(ref_d, srv_d, ph_d, cfg,
+                                            shmap_mesh, shmap_axis)
+            else:
+                maps = process_frames(ref_d, srv_d, ph_d, cfg)
+            # slots 1..1+count hold the valid frames (margins/padding
+            # dropped); to_host_complex: some remote backends cannot fetch
+            # complex directly
+            writer.write(to_host_complex(maps)[1:1 + count], start)
+            done += count
+        else:
+            # one fixed (groups, ...) shape: pad the final partial group
+            # with zero batches (their outputs are dropped)
+            refs = np.zeros((groups,) + pend[0][2].shape, pdt)
+            srvs = np.zeros_like(refs)
+            phs = np.zeros((groups, buf_n), np.float32)
+            for i, (_, _, br, bs, ph) in enumerate(pend):
+                refs[i] = br
+                srvs[i] = bs
+                phs[i] = ph
+            maps = process_frames_groups(jnp.asarray(refs), jnp.asarray(srvs),
+                                         jnp.asarray(phs), cfg)
+            maps = to_host_complex(maps)
+            for i, (start, count, _, _, _) in enumerate(pend):
+                writer.write(maps[i][1:1 + count], start)
+                done += count
+        pend.clear()
+        if progress:
+            print(f"\r  processed {done}/{total} frames", end="", flush=True)
+
     for (start, count, lo, hi), (_, _, (ref_raw, srv_raw)) in zip(
             batches, prefetch):
         # place the read frames into the fixed buffer at the offset that
@@ -390,26 +475,10 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
                 nread, lc, 2)
         phases[slot0:slot0 + nread] = frame_phases(
             cfg, list(range(frame0 + lo, frame0 + hi)))
-
-        ref_d = jnp.asarray(buf_ref)
-        srv_d = jnp.asarray(buf_srv)
-        ph_d = jnp.asarray(phases)
-        if sharding is not None:
-            ref_d = jax.device_put(ref_d, sharding)
-            srv_d = jax.device_put(srv_d, sharding)
-            ph_d = jax.device_put(ph_d, sharding)
-        if shmap_mesh is not None:
-            maps = process_frames_shmap(ref_d, srv_d, ph_d, cfg,
-                                        shmap_mesh, shmap_axis)
-        else:
-            maps = process_frames(ref_d, srv_d, ph_d, cfg)
-        # slots 1..1+count hold the valid frames (margins/padding dropped);
-        # to_host_complex: some remote backends cannot fetch complex directly
-        maps = to_host_complex(maps)[1:1 + count]
-        writer.write(maps, start)
-        done += count
-        if progress:
-            print(f"\r  processed {done}/{total} frames", end="", flush=True)
+        pend.append((start, count, buf_ref, buf_srv, phases))
+        if len(pend) == groups:
+            flush_pending()
+    flush_pending()
     if progress:
         print()
     return total

@@ -170,6 +170,35 @@ def test_file_roundtrip_and_run_capture(tiny_cfg, tmp_path):
     reader.close()
 
 
+def test_run_capture_dispatch_groups(tiny_cfg, tmp_path):
+    """dispatch_groups=G (scan of G batches per program) must match the
+    ungrouped loop frame-for-frame, including the zero-padded final partial
+    group (7 frames = 4 batches of 2 over G=3 → groups of 3+1)."""
+    cfg = tiny_cfg
+    n_frames = 7
+    path = str(tmp_path / "cap_g.hdf5")
+    write_synth_capture(path, cfg, n_frames, targets=(Target(40, 20.0, 0.1),))
+    reader = CaptureReader(cfg, path, estimate_offset=False)
+    total = min(reader.num_frames, cfg.num_frames)
+
+    w1 = MapWriter(cfg, total, str(tmp_path / "ung.hdf5"))
+    run_capture(reader, w1, cfg, batch_frames=2, progress=False)
+    w1.close()
+    w2 = MapWriter(cfg, total, str(tmp_path / "grp.hdf5"))
+    n = run_capture(reader, w2, cfg, batch_frames=2, progress=False,
+                    dispatch_groups=3)
+    w2.close()
+    assert n == total
+
+    import h5py
+    with h5py.File(str(tmp_path / "ung.hdf5")) as f:
+        want = np.asarray(f["/xambg"])
+    with h5py.File(str(tmp_path / "grp.hdf5")) as f:
+        got = np.asarray(f["/xambg"])
+    assert np.array_equal(got, want)
+    reader.close()
+
+
 def test_resume_after_interruption(tiny_cfg, tmp_path):
     """MapWriter resume: an interrupted run restarts where it stopped and the
     result matches an uninterrupted run."""
