@@ -44,8 +44,8 @@ def xcorr(s1: jnp.ndarray, s2: jnp.ndarray, nlead: int, nlag: int) -> jnp.ndarra
     return jnp.real(out).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("nd", "nl"))
-def _offset_core(p1, p2, nd: int, nl: int):
+@functools.partial(jax.jit, static_argnames=("nd", "nl", "antialias"))
+def _offset_core(p1, p2, nd: int, nl: int, antialias: str = "iir"):
     """Offset argmax from float32 IQ-pair inputs (n, 2).
 
     Everything — complexification, decimation, correlation, argmax — runs in
@@ -54,7 +54,15 @@ def _offset_core(p1, p2, nd: int, nl: int):
     """
     b1 = jax.lax.complex(p1[:, 0], p1[:, 1])
     b2 = jax.lax.complex(p2[:, 0], p2[:, 1])
-    if nd > 1:
+    if antialias == "iir":
+        # scipy.signal.decimate's default cheby1 filtfilt, exactly as the
+        # reference calls it (signal_utils.py:75-77) — including the pure
+        # 0.8-Nyquist filtering pass at nd == 1 (main.py:54 uses nd=1).
+        # TPU-native: per-pole/biquad associative scans (ops/iir.py).
+        from passiveradar_tpu.ops.iir import iir_decimate
+        b1 = iir_decimate(b1, nd)
+        b2 = iir_decimate(b2, nd)
+    elif nd > 1:
         b1 = fir_decimate(b1, nd)
         b2 = fir_decimate(b2, nd)
     m = b1.shape[0]
@@ -68,17 +76,20 @@ def _offset_core(p1, p2, nd: int, nl: int):
 
 
 def find_channel_offset(s1: jnp.ndarray, s2: jnp.ndarray, nd: int,
-                        nl: int, max_fft: int = 1 << 22) -> int:
+                        nl: int, max_fft: int = 1 << 22,
+                        antialias: str = "iir") -> int:
     """Estimate the constant sample offset between two channels.
 
     Reference semantics (signal_utils.py:73-78): decimate both channels by
-    ``nd``, take |xcorr| over lags -nl..+nl, return (argmax - nl) * nd.
-    Divergences: for nd > 1 the pre-correlation anti-alias filter is the FIR
-    decimator rather than scipy's default IIR cheby1 (the argmax location is
-    unaffected; for nd == 1 no filtering is applied), and searches whose FFT
-    would exceed ``max_fft`` points (e.g. the reference's one-shot ±5M-lag
-    correlation, main.py:54) run as a coarse decimated pass refined by a
-    narrow exact pass — same answer, bounded memory.
+    ``nd`` with scipy.signal.decimate's default zero-phase IIR cheby1
+    filter (run here as parallel per-pole associative scans, ops/iir.py —
+    including the pure filtering pass at nd == 1), take |xcorr| over lags
+    -nl..+nl, return (argmax - nl) * nd. ``antialias="fir"`` selects the
+    20·q-tap FIR decimator instead (cheaper; same argmax). Divergence:
+    searches whose FFT would exceed ``max_fft`` points (e.g. the
+    reference's one-shot ±5M-lag correlation, main.py:54) run as a coarse
+    FIR-decimated pass refined by a narrow exact pass at the caller's nd
+    and filter — same answer, bounded memory.
     """
     # All slicing/assembly happens host-side in numpy: some remote backends
     # implement complex dtypes only inside compiled programs, so eager
@@ -93,15 +104,20 @@ def find_channel_offset(s1: jnp.ndarray, s2: jnp.ndarray, nd: int,
         extra = 1
         while _next_pow2(n // (nd * extra) + int(nl) // extra + 1) > max_fft:
             extra *= 2
+        # internal coarse pass: FIR anti-alias regardless of the caller's
+        # choice (robust and cheap at the large nd·extra factor; the refine
+        # below re-runs at the caller's nd and filter, so the result keeps
+        # the requested semantics)
         coarse = find_channel_offset(s1, s2, nd * extra, int(nl) // extra,
-                                     max_fft)
+                                     max_fft, antialias="fir")
         r1, r2 = apply_offset(s1, s2, coarse)
         # refine on a truncated slice — only a ±4·nd·extra window of lags is
         # left, so a bounded stretch of signal suffices
         window = 4 * nd * extra
         keep = min(int(r1.shape[0]), max(8 * window, (max_fft // 2) * nd))
         fine = find_channel_offset(r1[:keep], r2[:keep], nd,
-                                   max(window // nd, 1), max_fft)
+                                   max(window // nd, 1), max_fft,
+                                   antialias=antialias)
         return coarse + fine
 
     def pairs(x):
@@ -111,7 +127,8 @@ def find_channel_offset(s1: jnp.ndarray, s2: jnp.ndarray, nd: int,
     nl = int(min(nl, s1.shape[0] // max(nd, 1)))
     # out[j] = sum b1[t] conj(b2[t - (j - nl)]): argmax j means b2 lags b1 by
     # (j - nl) samples, matching the reference's (argmax - nl) * nd.
-    return int(_offset_core(pairs(s1), pairs(s2), nd, nl)) * nd - nl * nd
+    return int(_offset_core(pairs(s1), pairs(s2), nd, nl,
+                            antialias=antialias)) * nd - nl * nd
 
 
 def offset_compensation(x1: jnp.ndarray, x2: jnp.ndarray, ns: int, ndec: int,

@@ -190,3 +190,60 @@ def test_mix_resample_batch_pallas_geometries(rng, monkeypatch, up, down,
     assert got.shape == want.shape
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) < 2e-6 * scale
+
+
+# ---------------------------------------------------------------------------
+# IIR decimation (scipy.signal.decimate default path) — ops/iir.py
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("q,tol", [(1, 5e-6), (2, 5e-6), (4, 1e-5),
+                                   (8, 5e-5), (16, 5e-4)])
+def test_iir_decimate_matches_scipy(rng, q, tol):
+    """iir_decimate must match scipy.signal.decimate's default zero-phase
+    cheby1 IIR (incl. the pure filtering pass at q=1) — both the
+    partial-fraction parallel-scan path (q<=8) and the biquad-cascade
+    matrix-scan path (q=16)."""
+    from passiveradar_tpu.ops.iir import iir_decimate
+
+    n = 30_000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    if q == 1:
+        want = sps.filtfilt(*sps.cheby1(8, 0.05, 0.8), x)
+    else:
+        want = sps.decimate(x, q)
+    got = np.asarray(iir_decimate(jnp.asarray(x), q))
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < tol * np.max(np.abs(want))
+
+    xr = rng.standard_normal(n).astype(np.float32)
+    wantr = (sps.decimate(xr, q) if q > 1
+             else sps.filtfilt(*sps.cheby1(8, 0.05, 0.8), xr))
+    gotr = np.asarray(iir_decimate(jnp.asarray(xr), q))
+    assert gotr.dtype == np.float32
+    assert np.max(np.abs(gotr - wantr)) < tol * np.max(np.abs(wantr))
+
+
+def test_find_channel_offset_iir_matches_reference_math(rng):
+    """The offset search with the IIR anti-alias (default) must agree with
+    a literal numpy/scipy transcription of the reference's
+    find_channel_offset (signal_utils.py:73-78) — same argmax, exactly."""
+    from passiveradar_tpu.ops.xcorr import find_channel_offset
+
+    n, true_off, nd, nl = 60_000, 37, 4, 500
+    base = (rng.standard_normal(n + 200)
+            + 1j * rng.standard_normal(n + 200)).astype(np.complex64)
+    ref = base[100:100 + n]
+    srv = 0.7 * base[100 - true_off:100 - true_off + n] \
+        + 0.05 * (rng.standard_normal(n)
+                  + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    def reference_find_offset(s1, s2):
+        b1 = sps.decimate(s1, nd)
+        b2 = np.pad(sps.decimate(s2, nd), (nl, nl), "constant")
+        xc = np.abs(sps.correlate(b1, b2, mode="valid"))
+        return (np.argmax(xc) - nl) * nd
+
+    want = reference_find_offset(ref, srv)
+    got = find_channel_offset(jnp.asarray(ref), jnp.asarray(srv), nd, nl)
+    assert got == want
