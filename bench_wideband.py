@@ -89,8 +89,9 @@ def main():
     # channelizer on every device (wideband.py), a design choice that is
     # only defensible if the channelizer is a small fraction of per-CPI time
     from passiveradar_tpu.ops.channelizer import channelize_pair
-    chan = jax.jit(lambda r, s: channelize_pair(r, s, cfg.wideband_channels,
-                                                cfg.wideband_taps_per_branch))
+    chan = jax.jit(lambda r, s: channelize_pair(
+        r, s, cfg.wideband_channels,
+        taps_per_branch=cfg.wideband_taps_per_branch))
     rc, _ = chan(ref[0], srv[0])
     float(summ(rc, jnp.float32(0.0)))
     t0 = time.time()

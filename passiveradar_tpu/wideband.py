@@ -131,44 +131,85 @@ def wideband_frames(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
 def _wideband_shmap_program(cfg: RadarConfig, mesh, axis_name: str):
     """Jitted shard_map wideband pipeline: channels → mesh axis.
 
-    The per-illuminator ("expert") parallel axis of SURVEY §2.3: each device
-    channelizes the (replicated) wideband CPI — the polyphase channelizer is
-    ~one fused elementwise pass, cheap next to the per-channel clutter+CAF
-    chains — then runs ONLY its own block of selected channels. No
-    collectives on the hot path; the output concatenates over the channel
-    axis. Cached so repeated batch dispatches reuse one compiled program.
+    The per-illuminator ("expert") parallel axis of SURVEY §2.3. The
+    channelizer is NOT replicated: an earlier design channelized the full
+    (replicated) band on every device, which a bench_wideband ablation
+    measured at ~25-44% of per-CPI time (docs/PERFORMANCE.md 2026-08-20) —
+    n× redundant front-end work at n devices. Instead the input TIME axis
+    is sharded: each device branch-filters + FFTs only its own time block
+    (exact, because the per-branch FIR is causal: a (taps_per_branch − 1)-
+    row halo from the left neighbour via ONE lax.ppermute reproduces the
+    global filter bit-for-bit, with device 0's zero halo matching the
+    global zero pad), then one tiled ``all_to_all`` transposes
+    (time-block, all selected channels) → (full time, local channel block)
+    over ICI, and each device runs its own channels' clutter+CAF chains.
+    Per-CPI collective traffic: 2·(t−1)·K halo samples + 2·m·S transpose
+    samples — the transpose equals one pass over the channelized data,
+    far below the n× channelizer compute it replaces. Cached so repeated
+    batch dispatches reuse one compiled program.
     """
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis_name]
+    k = cfg.wideband_channels
+    t = cfg.wideband_taps_per_branch
     select = np.asarray(cfg.wideband_channel_select, np.int32)
     s_total = len(select)
     if s_total % n:
         raise ValueError(
             f"wideband_frames_shmap: {s_total} selected channels do not "
             f"divide the {n}-device '{axis_name}' mesh axis")
-    s_local = s_total // n
+    if cfg.cpi_samples % n:
+        raise ValueError(
+            f"wideband_frames_shmap: {cfg.cpi_samples} per-channel samples "
+            f"do not divide the {n}-device '{axis_name}' mesh axis")
+    mb = cfg.cpi_samples // n           # per-device channel-rate samples
     win = resolve_window(cfg.caf_window, cfg.cpi_samples)
-    per_channel_of = _wideband_channel_chain
+    from passiveradar_tpu.ops.channelizer import design_prototype
+    proto = design_prototype(k, t)
+    hbf = proto.reshape(t, k).astype(np.float32)
+    perm = [(i, i + 1) for i in range(n - 1)]   # no wrap: device 0 gets 0s
 
     def local(r, s):
         win_j = None if win is None else jnp.asarray(win)
-        per_channel = per_channel_of(cfg, win_j)
+        per_channel = _wideband_channel_chain(cfg, win_j)
+        hb = jnp.asarray(hbf)
         sel = jnp.asarray(select)
-        idx = jax.lax.axis_index(axis_name)
-        my_sel = jax.lax.dynamic_slice_in_dim(sel, idx * s_local, s_local)
 
-        def per_frame(rr, ss):
-            refc, srvc = channelize_pair(
-                rr, ss, cfg.wideband_channels,
-                taps_per_branch=cfg.wideband_taps_per_branch)
-            return jax.vmap(per_channel)(refc.T[my_sel], srvc.T[my_sel])
+        def chan_local(x):
+            # x: (F, mb·k) complex — this device's contiguous time block
+            f = x.shape[0]
+            xb = x.reshape(f, mb, k)
+            # causal-FIR halo: the left neighbour's last t-1 polyphase rows
+            halo = jax.lax.ppermute(xb[:, mb - (t - 1):, :], axis_name, perm)
+            ext = jnp.concatenate([halo, xb], axis=1)   # (F, mb+t-1, k)
+            yb = xb * hb[0]
+            for i in range(1, t):
+                yb = yb + ext[:, t - 1 - i:mb + t - 1 - i, :] * hb[i]
+            ych = jnp.fft.fft(yb, axis=2).astype(jnp.complex64)
+            ysel = ych[:, :, sel]                       # (F, mb, S)
+            # transpose (time-block, all channels) -> (all time, local
+            # channels): device d ends with channels select[d·s_local:...]
+            full = jax.lax.all_to_all(ysel, axis_name, split_axis=2,
+                                      concat_axis=1, tiled=True)
+            return jnp.swapaxes(full, 1, 2)             # (F, s_local, m)
 
-        return jax.vmap(per_frame)(_to_complex(r), _to_complex(s))
+        refc = chan_local(_to_complex(r))
+        srvc = chan_local(_to_complex(s))
+        return jax.vmap(jax.vmap(per_channel))(refc, srvc)
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
-                       out_specs=P(None, axis_name), check_vma=False)
-    return jax.jit(fn)
+    pair_spec = P(None, axis_name)      # (F, N) complex input
+    in_specs = lambda a: (P(None, axis_name, None)
+                          if a == 3 else pair_spec)
+
+    def run(raw_ref, raw_srv):
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(in_specs(raw_ref.ndim), in_specs(raw_srv.ndim)),
+            out_specs=P(None, axis_name), check_vma=False)
+        return fn(raw_ref, raw_srv)
+
+    return jax.jit(run)
 
 
 def wideband_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
