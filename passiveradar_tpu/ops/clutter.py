@@ -194,16 +194,30 @@ def gs_apply(fx: jnp.ndarray, fy: jnp.ndarray, delta: jnp.ndarray,
     batched and O(m log m) — the per-bin solve inside the clutter scan
     never touches an m×m matrix. The A- and B-generator paths are
     independent, so they run stacked (one transform of 2× the batch instead
-    of two): the whole apply is 4 transform dispatches (fv, stacked ifft,
+    of two): the whole apply is 4 transform rounds (fv, stacked ifft,
     stacked fft, stacked ifft) — the scan body is dispatch-latency-bound,
-    not arithmetic-bound, at m ≈ 200.
+    not arithmetic-bound, at m ≈ 200. On TPU the small transforms run as
+    sliced DFT matmuls (ops/mxufft.dft_matmul): below fft_auto's AUTO_MIN
+    they would otherwise lower to XLA's FFT *custom call*, whose per-call
+    overhead and fusion barrier dominate this latency-bound chain; the
+    matmul form also exploits the m-support inputs / m-needed outputs
+    (m·fft_len work instead of fft_len·log) and fuses into neighbouring
+    ops.
     """
     m = v.shape[-1]
     fft_len = fx.shape[-1]
-    fv = fft_auto(v, fft_len, axis=-1)
     fg = jnp.stack([fx, fy])                       # (2, ..., fft_len)
-    hv = ifft_auto(jnp.conj(fg) * fv[None], axis=-1)[..., :m]
-    prod = ifft_auto(fg * fft_auto(hv, fft_len, axis=-1), axis=-1)[..., :m]
+    if use_mxu():
+        fv = dft_matmul(v, n=fft_len)              # m-support forward
+        hv = dft_matmul(jnp.conj(fg) * fv[None], inverse=True,
+                        out_len=m)                 # first m outputs only
+        prod = dft_matmul(fg * dft_matmul(hv, n=fft_len), inverse=True,
+                          out_len=m)
+    else:
+        fv = fft_auto(v, fft_len, axis=-1)
+        hv = ifft_auto(jnp.conj(fg) * fv[None], axis=-1)[..., :m]
+        prod = ifft_auto(fg * fft_auto(hv, fft_len, axis=-1),
+                         axis=-1)[..., :m]
     return ((prod[0] - prod[1])
             / delta[..., None].astype(prod.dtype)).astype(v.dtype)
 
