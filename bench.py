@@ -72,16 +72,30 @@ def main():
     # the production host loop dispatches GROUPS batches per device program
     # (pipeline.process_frames_groups — a lax.scan amortising fixed launch
     # overhead; run_capture(dispatch_groups=...) is the same path), so the
-    # headline measures that granularity: reps/GROUPS dispatches
+    # headline measures that granularity: reps/GROUPS dispatches. The
+    # progress accumulator rides the same program (maps still fully
+    # materialise in HBM) — a separate reduction dispatch would bill the
+    # relay's per-launch overhead twice per group.
+    import functools
+
+    from passiveradar_tpu.pipeline import (_process_frames_groups_jit,
+                                           _routing_key)
+
     groups = 8
     refs = jnp.stack([ref, ref2] * (groups // 2))
     srvs = jnp.stack([srv, srv2] * (groups // 2))
     phg = jnp.broadcast_to(phases, (groups,) + phases.shape)
 
+    @functools.partial(jax.jit, static_argnames=("cfg", "routing"))
+    def group_step(refs, srvs, phg, acc, cfg, routing):
+        out = _process_frames_groups_jit(refs, srvs, phg, cfg, routing)
+        return acc + jnp.sum(jnp.abs(out))
+
+    routing = _routing_key()
+
     # warm-up / compile
     t0 = time.time()
-    out = process_frames_groups(refs, srvs, phg, cfg)
-    float(summ(out, jnp.float32(0.0)))
+    float(group_step(refs, srvs, phg, jnp.float32(0.0), cfg, routing))
     compile_s = time.time() - t0
 
     # steady state: alternate two input sets inside each group's stack,
@@ -90,8 +104,7 @@ def main():
     t0 = time.time()
     acc = jnp.float32(0.0)
     for i in range(reps // groups):
-        out = process_frames_groups(refs, srvs, phg, cfg)
-        acc = summ(out, acc)
+        acc = group_step(refs, srvs, phg, acc, cfg, routing)
     float(acc)
     elapsed = time.time() - t0
 

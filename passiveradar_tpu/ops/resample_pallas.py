@@ -49,6 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 GROUPS_STEP = 128
 # max bank width the kernel supports: window chunks per group
 MAX_KW = 3
+# frame rows per kernel call. 8 measured BEST: 16 rows per call (both
+# channels in one kernel, 32-sublane ops, half the op count) LOST 12.1 vs
+# 10.3 ms for the two-call pair on v5e 2026-08-20 - deeper per-op operands
+# do not beat two pipelined 8-row calls (VMEM double-buffer pressure);
+# the fifth and final recorded dead end for this kernel's structure
+ROWS_CHUNK = 8
 # matmul precision for the kernel contraction. Module-level so benchmarks
 # can A/B it (bench_resample_prec.py): HIGHEST = bf16x6 passes, HIGH =
 # bf16x3 at half the MXU work — see the measured speed/accuracy trade in
@@ -147,11 +153,12 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     f, n = planes_re.shape
-    if f > 8:
-        parts = [mix_regroup_matmul(planes_re[r:r + 8], planes_im[r:r + 8],
+    if f > ROWS_CHUNK:
+        parts = [mix_regroup_matmul(planes_re[r:r + ROWS_CHUNK],
+                                    planes_im[r:r + ROWS_CHUNK],
                                     bank, down, groups, up,
                                     interpret=interpret)
-                 for r in range(0, f, 8)]
+                 for r in range(0, f, ROWS_CHUNK)]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
                 jnp.concatenate([p[1] for p in parts], axis=0))
     s_dim, w = bank.shape
