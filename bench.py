@@ -127,11 +127,10 @@ def main():
     # here; see docs/PERFORMANCE.md "Measurement method note"). The
     # headline above stays the host-loop number for cross-round
     # comparability; this line records what the chip itself sustains.
-    from passiveradar_tpu.pipeline import _process_frames_jit, _routing_key
+    from passiveradar_tpu.pipeline import _process_frames_jit
 
     refs = jnp.stack([ref, ref2])
     srvs = jnp.stack([srv, srv2])
-    routing = _routing_key()
 
     @jax.jit
     def steady(refs, srvs, phases):

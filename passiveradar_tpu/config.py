@@ -83,7 +83,8 @@ class RadarConfig:
     clutter_impl: str = "carry"
     # per-bin Toeplitz solver: 'levinson' (G-S apply via small FFT convs),
     # 'gs_dense' (Levinson + dense G-S inverse, one matvec per bin),
-    # 'cholesky' (dense factorisation)
+    # 'gs_matrix' (Levinson + dense inverse assembled by batched G-S
+    # application to the identity), 'cholesky' (dense factorisation)
     clutter_solver: str = "levinson"
     nlms_mu: float = 0.05                # step size for the nlms methods
     caf_window: tuple = ("kaiser", 5.0)              # reference main.py:183

@@ -207,7 +207,9 @@ def gs_apply(fx: jnp.ndarray, fy: jnp.ndarray, delta: jnp.ndarray,
     m = v.shape[-1]
     fft_len = fx.shape[-1]
     fg = jnp.stack([fx, fy])                       # (2, ..., fft_len)
-    if use_mxu():
+    # dft_matmul is a dense small-transform primitive (n <= 4096); larger
+    # filter lengths (m > 2048 => fft_len 8192) keep the FFT path
+    if use_mxu() and fft_len <= 4096:
         fv = dft_matmul(v, n=fft_len)              # m-support forward
         hv = dft_matmul(jnp.conj(fg) * fv[None], inverse=True,
                         out_len=m)                 # first m outputs only

@@ -438,16 +438,21 @@ def run_capture(reader, writer, cfg: RadarConfig, batch_frames: int | None = Non
             done += count
         else:
             # one fixed (groups, ...) shape: pad the final partial group
-            # with zero batches (their outputs are dropped)
-            refs = np.zeros((groups,) + pend[0][2].shape, pdt)
-            srvs = np.zeros_like(refs)
-            phs = np.zeros((groups, buf_n), np.float32)
-            for i, (_, _, br, bs, ph) in enumerate(pend):
-                refs[i] = br
-                srvs[i] = bs
-                phs[i] = ph
-            maps = process_frames_groups(jnp.asarray(refs), jnp.asarray(srvs),
-                                         jnp.asarray(phs), cfg)
+            # with zero batches (their outputs are dropped). Each per-batch
+            # buffer transfers individually and the stack happens ON DEVICE
+            # — a host-side np.zeros((groups, ...)) + copy would re-touch
+            # hundreds of MB per group on this very slow host CPU
+            # (padding zeros are device-created, never host-materialised)
+            zbuf = None
+            if g < groups:
+                zbuf = jnp.zeros(pend[0][2].shape, pdt)
+            refs = jnp.stack([jnp.asarray(p[2]) for p in pend]
+                             + [zbuf] * (groups - g))
+            srvs = jnp.stack([jnp.asarray(p[3]) for p in pend]
+                             + [zbuf] * (groups - g))
+            phs = jnp.stack([jnp.asarray(p[4]) for p in pend]
+                            + [jnp.zeros(buf_n, jnp.float32)] * (groups - g))
+            maps = process_frames_groups(refs, srvs, phs, cfg)
             maps = to_host_complex(maps)
             for i, (start, count, _, _, _) in enumerate(pend):
                 writer.write(maps[i][1:1 + count], start)

@@ -313,3 +313,30 @@ def test_gal_jpe_matches_real_oracle(rng, lattice, delay):
                            lattice, delay, 1e-3, 1e-2)
     assert np.max(np.abs(np.real(got) - want)) < 1e-2
     assert np.max(np.abs(np.imag(got))) < 1e-4
+
+
+def test_gs_apply_large_filter_mxu_routing(monkeypatch, rng):
+    import jax.numpy as jnp
+
+    """m > 2048 pushes the G-S fft_len past dft_matmul's 4096 ceiling: the
+    MXU routing must fall back to the FFT path instead of raising (the
+    sliced-matmul branch is a small-transform optimisation only)."""
+    from passiveradar_tpu.ops.clutter import (gs_apply, gs_generators,
+                                              levinson_first_col)
+
+    m = 2100
+    seq = (rng.standard_normal(4 * m) + 1j * rng.standard_normal(4 * m)
+           ).astype(np.complex64)
+    ac = np.correlate(seq, seq, "full")[len(seq) - 1:len(seq) - 1 + m]
+    ac[0] += 10.0 * abs(ac[0])          # well-conditioned PD system
+    x = levinson_first_col(jnp.asarray(ac.astype(np.complex64))[None])[0]
+    fft_len = 8192
+    fx, fy, delta = gs_generators(x, fft_len)
+    v = (rng.standard_normal(m) + 1j * rng.standard_normal(m)
+         ).astype(np.complex64)
+
+    want = np.asarray(gs_apply(fx, fy, delta, jnp.asarray(v)))
+    monkeypatch.setenv("PASSIVERADAR_MXU_FFT", "1")
+    got = np.asarray(gs_apply(fx, fy, delta, jnp.asarray(v)))
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) < 1e-4 * scale
