@@ -399,6 +399,12 @@ def test_int16_capture_ships_raw_and_matches_float32(tiny_cfg, tmp_path):
     w16 = MapWriter(cfg, nt, str(tmp_path / "m16.hdf5"))
     run_capture(reader16, w16, cfg, batch_frames=3, progress=False)
     w16.close()
+    # grouped dispatch must match on the raw-int16 pair path too (device
+    # zero-padding of the partial group uses the int16 dispatch dtype)
+    wg = MapWriter(cfg, nt, str(tmp_path / "m16g.hdf5"))
+    run_capture(reader16, wg, cfg, batch_frames=2, progress=False,
+                dispatch_groups=2)
+    wg.close()
     reader32 = CaptureReader(cfg, p32, estimate_offset=False)
     assert reader32.pair_dtype == np.float32
     w32 = MapWriter(cfg, nt, str(tmp_path / "m32.hdf5"))
@@ -411,6 +417,8 @@ def test_int16_capture_ships_raw_and_matches_float32(tiny_cfg, tmp_path):
     m32 = load_maps(cfg, str(tmp_path / "m32.hdf5"))
     scale = np.max(np.abs(m32))
     assert np.max(np.abs(m16 - m32)) <= 1e-6 * scale
+    m16g = load_maps(cfg, str(tmp_path / "m16g.hdf5"))
+    assert np.array_equal(m16g, m16)
 
 
 def test_shmap_pipeline_matches_single_device(tiny_cfg, monkeypatch):
