@@ -18,6 +18,7 @@ from passiveradar_tpu.ops.fir import (
     resample_poly,
     upfirdn,
 )
+from passiveradar_tpu.ops.iir import iir_decimate
 from passiveradar_tpu.ops.mixer import block_phase_offsets, frequency_shift
 from passiveradar_tpu.ops.nlms_pallas import nlms_filter_pallas
 from passiveradar_tpu.ops.util import deinterleave_iq, normalize, shift
