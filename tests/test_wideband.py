@@ -240,3 +240,35 @@ def test_wideband_pipeline_finds_target_per_channel(rng):
     integ = np.asarray(integrate_channels(maps))
     fbin, rbin = np.unravel_index(np.argmax(integ), integ.shape)
     assert rbin == r_bins - delay // k
+
+
+def test_wideband_shmap_collective_budget(tmp_path):
+    """HLO-level contract for the time-sharded channelizer (the expert-axis
+    scaling argument in docs/SCALING.md): exactly 2 collective-permutes
+    (one causal-FIR halo per radar channel) and 2 all-to-alls (one
+    channelized-data transpose per radar channel) — nothing else crosses
+    devices."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from passiveradar_tpu.wideband import _wideband_shmap_program
+
+    _, cfg = _wb_cfg(tmp_path)
+    n = cfg.cpi_samples * cfg.wideband_channels
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("channels",))
+    fn = _wideband_shmap_program(cfg, mesh, "channels")
+    r = jnp.zeros((2, n), jnp.complex64)
+    hlo = fn.lower(r, r).compile().as_text()
+
+    def count(op):
+        starts = len(re.findall(rf"= \(?\w+\[[\d,]*\][^=]*? {op}-start\(",
+                                hlo))
+        if starts:
+            return starts
+        return len(re.findall(rf"= \(?\w+\[[\d,]*\][^=]*? {op}\(", hlo))
+
+    assert count("collective-permute") == 2, hlo.count("collective-permute")
+    assert count("all-to-all") == 2, hlo.count("all-to-all")
