@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -289,8 +290,52 @@ def _mix_resample_static(h_key, up: int, down: int, c: float, n_in: int,
     shift = ext * up // down if mode == "line" else 0
     n_out_plain = _upfirdn_output_len(len_h, n_in, up, down)
     return dict(pad_l=pad_l, ext=ext, groups=groups, n_slabs=n_slabs,
-                bank_ri=bank_ri, fg=fg, corr=corr, shift=shift,
-                n_out_plain=n_out_plain)
+                bank_ri=bank_ri, bank_c64=bank_c, fg=fg, corr=corr,
+                shift=shift, n_out_plain=n_out_plain)
+
+
+@functools.lru_cache(maxsize=64)
+def _mix_resample_fold(h_key, up: int, down: int, c: float, n_in: int,
+                       mode: str, fold: int):
+    """Phase-folded kernel operands for the Pallas regroup+matmul.
+
+    The regroup kernel's cost floor is per polyphase GROUP (the VMEM
+    window-align ops emitted per group — see ops/resample_pallas.py and
+    the dead-end ledger in docs/PERFORMANCE.md), not per input byte. A
+    rational ratio up/down is identical to (fold*up)/(fold*down) with the
+    folded bank
+
+        B_f[s*up + p, s*down + k] = B̃[p, k] * e^{j2πc*down*s},  s < fold
+
+    (each fold slot s is the original bank shifted right by s*down lanes
+    and advanced by the oscillator's per-group phase), a per-group scale
+    fg_f[g] = e^{j2πc*(fold*down)*g}, and ceil(groups/fold) groups — the
+    SAME output samples from 1/fold as many groups at a (fold-1)*down-lane
+    wider bank. Flat output order is unchanged, so the padtype='line' edge
+    corrections apply on the flattened output instead of per group.
+    """
+    st = _mix_resample_static(h_key, up, down, c, n_in, mode)
+    bank_c = st["bank_c64"]
+    w = bank_c.shape[1]
+    w_f = w + (fold - 1) * down
+    bank_fc = np.zeros((fold * up, w_f), np.complex128)
+    for s in range(fold):
+        phi = np.exp(2j * np.pi * np.mod(c * down * s, 1.0))
+        bank_fc[s * up:(s + 1) * up, s * down:s * down + w] = bank_c * phi
+    bank_ri = np.concatenate([bank_fc.real, bank_fc.imag],
+                             axis=0).astype(np.float32)
+    groups_f = -(-st["groups"] // fold)
+    gd = np.arange(groups_f, dtype=np.float64) * (fold * down)
+    fg_f = np.exp(2j * np.pi * np.mod(c * gd, 1.0)).astype(np.complex64)
+
+    corr_flat = None
+    if st["corr"] is not None:
+        gl, g_r0, c1l, c2l, c1r, c2r = st["corr"]
+        corr_flat = (gl * up, g_r0 * up,
+                     c1l.reshape(-1), c2l.reshape(-1),
+                     c1r.reshape(-1), c2r.reshape(-1))
+    return dict(st, up_f=fold * up, down_f=fold * down, groups_f=groups_f,
+                bank_f_ri=bank_ri, fg_f=fg_f, corr_flat=corr_flat)
 
 
 @functools.partial(jax.jit,
@@ -351,14 +396,17 @@ def _mix_resample_jit(x, phase, h_key, up, down, c, mode, n_pre_remove,
 
 @functools.partial(jax.jit,
                    static_argnames=("h_key", "up", "down", "c", "mode",
-                                    "n_pre_remove", "n_out"))
+                                    "n_pre_remove", "n_out", "fold"))
 def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
-                            n_pre_remove, n_out):
+                            n_pre_remove, n_out, fold=1):
     """Batched fused mix+resample with the Pallas regroup+matmul bulk.
 
     Same math as _mix_resample_jit (per frame), but all frames' re/im
     planes ride as rows of ONE kernel call — the (·, down) lane regroup
     happens in VMEM (ops/resample_pallas.py) instead of as an XLA relayout.
+    ``fold`` runs the kernel at the (fold*up)/(fold*down) phase-folded
+    factorisation (_mix_resample_fold): 1/fold as many groups against a
+    wider static bank — fewer per-group VMEM align ops for the same math.
     """
     from passiveradar_tpu.ops.resample_pallas import mix_regroup_matmul
 
@@ -367,31 +415,51 @@ def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
     else:
         planes = x.transpose(0, 2, 1).astype(jnp.float32)     # (F, 2, n)
     f, _, n_in = planes.shape
-    st = _mix_resample_static(h_key, up, down, c, n_in, mode)
-    groups = st["groups"]
+    st = _mix_resample_fold(h_key, up, down, c, n_in, mode, fold)
+    groups, up_f = st["groups_f"], st["up_f"]
     pad_lraw = st["pad_l"] + st["ext"]
     # kernel zero-pads the right edge itself
     xp = jnp.pad(planes, ((0, 0), (0, 0), (pad_lraw, 0)))
     o_re, o_im = mix_regroup_matmul(xp[:, 0], xp[:, 1],
-                                    jnp.asarray(st["bank_ri"]), down,
-                                    groups, up)
-    bulk = jax.lax.complex(o_re, o_im) * jnp.asarray(st["fg"])[None, :, None]
-    if st["corr"] is not None:
-        gl, g_r0, c1l, c2l, c1r, c2r = st["corr"]
-        m0 = jax.lax.complex(planes[:, 0, 0], planes[:, 1, 0])[:, None, None]
-        mn = jax.lax.complex(planes[:, 0, -1], planes[:, 1, -1])[:, None, None]
-        if gl:
-            bulk = bulk.at[:, :gl].add(jnp.asarray(c1l)[None] * m0
+                                    jnp.asarray(st["bank_f_ri"]),
+                                    st["down_f"], groups, up_f)
+    bulk = jax.lax.complex(o_re, o_im) * jnp.asarray(st["fg_f"])[None, :, None]
+    flat = bulk.reshape(f, groups * up_f)
+    if st["corr_flat"] is not None:
+        tl, t_r0, c1l, c2l, c1r, c2r = st["corr_flat"]
+        t_hi = t_r0 + c1r.shape[0]
+        m0 = jax.lax.complex(planes[:, 0, 0], planes[:, 1, 0])[:, None]
+        mn = jax.lax.complex(planes[:, 0, -1], planes[:, 1, -1])[:, None]
+        if tl:
+            flat = flat.at[:, :tl].add(jnp.asarray(c1l)[None] * m0
                                        + jnp.asarray(c2l)[None] * mn)
-        if g_r0 < groups:
-            bulk = bulk.at[:, g_r0:].add(jnp.asarray(c1r)[None] * m0
-                                         + jnp.asarray(c2r)[None] * mn)
-    flat = bulk.reshape(f, groups * up)
+        if t_r0 < t_hi:
+            flat = flat.at[:, t_r0:t_hi].add(jnp.asarray(c1r)[None] * m0
+                                             + jnp.asarray(c2r)[None] * mn)
     lo = st["shift"] + n_pre_remove
     y = flat[:, lo:lo + n_out]
     ph = jnp.asarray(phases, jnp.float32)[:, None]
     return (y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))).astype(
         jnp.complex64)
+
+
+def resample_fold() -> int:
+    """Requested phase-fold factor for the Pallas batch resampler.
+
+    Trace-time env gate (PASSIVERADAR_RESAMPLE_FOLD); pipeline-level jits
+    key on it via pipeline._routing_key. The actual fold used is the
+    largest supported one <= this (mix_resample_poly_batch's gate). The
+    default follows the measured optimum at the FM geometry (see
+    docs/PERFORMANCE.md).
+    """
+    env = os.environ.get("PASSIVERADAR_RESAMPLE_FOLD")
+    if env:
+        return max(1, int(env))
+    # measured on v5e at the FM geometry (bench_resample_fold.py,
+    # 2026-08-20, in-program scan, one channel, ms/batch8):
+    # fold=1 4.64 / fold=2 3.67 / fold=4 3.39 — the per-group align-op
+    # floor dominates the kernel, so fewer+wider groups win
+    return 4
 
 
 def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
@@ -409,7 +477,7 @@ def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
 
     g = math.gcd(int(up), int(down))
     upr, downr = int(up) // g, int(down) // g
-    supported = False
+    fold_ok = 0
     if resample_pallas.use_pallas_resample() and not (
             upr == 1 and downr == 1):
         n_in = x.shape[1]
@@ -418,14 +486,23 @@ def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
         h_key = _tap_key(h_pad)
         c = float(fc) / float(fs)
         st = _mix_resample_static(h_key, upr, downr, c, n_in, padtype)
-        kw = -(-st["bank_ri"].shape[1] // 128)
-        # kernel constraints: bank width, s-dim, and the lookahead slice
-        # (kw+1 lane-tiles) must fit inside one grid block (128*down lanes)
-        supported = (kw <= resample_pallas.MAX_KW and 2 * upr <= 128
-                     and (kw + 1) * 128 <= resample_pallas.GROUPS_STEP * downr)
-    if supported:
+        w = st["bank_ri"].shape[1]
+        # largest supported fold <= requested. kernel constraints per fold:
+        # folded bank width (w + (fold-1)*down lane-tiles), output s-dim,
+        # and the lookahead slice ((kw+1) lane-tiles) must fit inside one
+        # grid block (groups_step(down_f)*down_f lanes)
+        for fold in range(resample_fold(), 0, -1):
+            d_f, u_f = downr * fold, upr * fold
+            kw = -(-(w + (fold - 1) * downr) // 128)
+            gs = resample_pallas.groups_step(d_f)
+            if (kw <= resample_pallas.MAX_KW and 2 * u_f <= 128
+                    and (kw + 1) * 128 <= gs * d_f):
+                fold_ok = fold
+                break
+    if fold_ok:
         return _mix_resample_batch_jit(x, phases, h_key, upr, downr, c,
-                                       padtype, n_pre_remove, n_out)
+                                       padtype, n_pre_remove, n_out,
+                                       fold=fold_ok)
     return jax.vmap(
         lambda v, p: mix_resample_poly(v, fc, fs, p, up, down, window,
                                        padtype))(x, phases)

@@ -10,15 +10,16 @@ dominant cost of the preprocess stage (several ms per 8-frame batch vs a
 ~0.2 ms bandwidth bound).
 
 This kernel performs the regroup inside VMEM instead. Key alignment fact:
-128 consecutive polyphase groups span exactly ``128*down`` input lanes, a
-multiple of 128 — so a grid step over 128-group blocks reads lane-aligned
-input blocks, and within a block every group's window offset ``g*down`` has
-a *static* tile index and roll amount. The kernel therefore:
+``gs = groups_step(down)`` consecutive polyphase groups span exactly
+``gs*down`` input lanes, a multiple of 128 — so a grid step over gs-group
+blocks reads lane-aligned input blocks, and within a block every group's
+window offset ``g*down`` has a *static* tile index and roll amount. The
+kernel therefore:
 
   * copies the step's input block plus a (kw+1)-tile lookahead into VMEM
-    (kw = ceil(bank width / 128); requires (kw+1)*128 <= 128*down, enforced
+    (kw = ceil(bank width / 128); requires (kw+1)*128 <= gs*down, enforced
     by the caller's support gate in ops/fir.py),
-  * for each of the 128 groups (unrolled; all offsets static): slices the
+  * for each of the gs groups (unrolled; all offsets static): slices the
     window neighbourhood, left-rotates it by ``(g*down) % 128`` (static
     ``pltpu.roll``), and writes the aligned 128-lane window chunks of BOTH
     input planes into the W2 matrix,
@@ -44,11 +45,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# groups per grid step; their input span (GROUPS_STEP * down lanes) must be
-# a multiple of 128, which holds for any down when GROUPS_STEP == 128
+# groups per grid step; their input span (groups_step(down) * down lanes)
+# must be a multiple of 128 — 128 works for any down, but even downs admit a
+# smaller step (fewer groups per step, same c_len), which keeps the folded
+# variants' VMEM blocks at the unfolded size (see groups_step below)
 GROUPS_STEP = 128
-# max bank width the kernel supports: window chunks per group
-MAX_KW = 3
+# max bank width the kernel supports: window chunks per group. 5 (not 3)
+# so the fold=4 phase-folded bank (ops/fir.py: W + 3*down lanes at the FM
+# 13/119 ratio => 595 => kw 5) stays in-kernel
+MAX_KW = 5
 # frame rows per kernel call. 8 measured BEST: 16 rows per call (both
 # channels in one kernel, 32-sublane ops, half the op count) LOST 12.1 vs
 # 10.3 ms for the two-call pair on v5e 2026-08-20 - deeper per-op operands
@@ -89,6 +94,22 @@ class manual_region:
         return False
 
 
+def groups_step(down: int) -> int:
+    """Polyphase groups per grid step for a given ``down``.
+
+    Constraints: gs*down must be a multiple of 128 (lane-aligned input
+    blocks) and at least (MAX_KW+1)*128 (the lookahead slice must fit in
+    one block). The smallest such gs minimises the per-step VMEM block —
+    for the phase-folded banks (ops/fir.py, fold>1) down grows by the fold
+    factor while gs shrinks by it, keeping c_len = gs*down constant."""
+    import math as _math
+
+    gs = 128 // _math.gcd(down, 128)
+    while gs * down < (MAX_KW + 1) * 128 and gs < 128:
+        gs *= 2
+    return gs
+
+
 def use_pallas_resample() -> bool:
     """Route the resampler bulk through the Pallas kernel? (trace-time).
 
@@ -108,14 +129,15 @@ def use_pallas_resample() -> bool:
     return jax.device_count() == 1 or _IN_MANUAL_REGION
 
 
-def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int):
-    c_len = GROUPS_STEP * down
+def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int,
+               gs: int):
+    c_len = gs * down
     look = (kw + 1) * 128
 
     buf[:, :c_len] = xa[:]
     buf[:, c_len:] = xb[:, :look]
 
-    for g in range(GROUPS_STEP):
+    for g in range(gs):
         t = (g * down) // 128
         j = (g * down) % 128
         seg = buf[:, t * 128:t * 128 + look]        # (2*f8, (kw+1)*128)
@@ -177,15 +199,16 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
     bkt = bkt.at[half:half + w, up:2 * up].set(b_re)
 
     f8 = -(-f // 8) * 8
-    steps = -(-groups // GROUPS_STEP)
-    c_len = GROUPS_STEP * down
+    gs = groups_step(down)
+    steps = -(-groups // gs)
+    c_len = gs * down
     look = (kw + 1) * 128
     need = (steps + 1) * c_len
     xp = jnp.zeros((2 * f8, need), jnp.float32)
     xp = xp.at[:f, :n].set(planes_re)
     xp = xp.at[f8:f8 + f, :n].set(planes_im)
 
-    kern = functools.partial(_kernel_cx, f8=f8, down=down, kw=kw)
+    kern = functools.partial(_kernel_cx, f8=f8, down=down, kw=kw, gs=gs)
     out = pl.pallas_call(
         kern,
         grid=(steps,),
@@ -197,18 +220,18 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
             pl.BlockSpec((2 * half, s32), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, GROUPS_STEP * f8, s32),
+        out_specs=pl.BlockSpec((1, gs * f8, s32),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((steps, GROUPS_STEP * f8, s32),
+        out_shape=jax.ShapeDtypeStruct((steps, gs * f8, s32),
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * f8, c_len + look), jnp.float32),
-            pltpu.VMEM((GROUPS_STEP * f8, 2 * half), jnp.float32),
+            pltpu.VMEM((gs * f8, 2 * half), jnp.float32),
         ],
         interpret=interpret,
     )(xp, xp, bkt)
 
-    out = out.reshape(steps * GROUPS_STEP, f8, s32)
+    out = out.reshape(steps * gs, f8, s32)
     out = out.transpose(1, 0, 2)[:f, :groups]
     return out[..., :up], out[..., up:2 * up]

@@ -95,12 +95,14 @@ def _routing_key(manual: bool = False) -> tuple:
     retraces instead of silently reusing a program compiled under the old
     setting. ``manual=True`` evaluates the gates as a shard_map body will
     see them (inside a manual region)."""
-    from passiveradar_tpu.ops import clutter, fft_pallas, mxufft, resample_pallas
+    from passiveradar_tpu.ops import (clutter, fft_pallas, fir, mxufft,
+                                      resample_pallas)
     ctx = resample_pallas.manual_region() if manual else (
         contextlib.nullcontext())
     with ctx:
         return (mxufft.use_mxu(), fft_pallas.use_fused(),
                 resample_pallas.use_pallas_resample(),
+                fir.resample_fold(),
                 clutter.BIN_SCAN_UNROLL)
 
 

@@ -165,6 +165,33 @@ def test_mix_resample_batch_falls_back_for_pure_upsample(rng, monkeypatch):
     assert np.max(np.abs(got - want)) < 1e-6 * np.max(np.abs(want))
 
 
+@pytest.mark.parametrize("fold", [2, 4])
+def test_mix_resample_batch_pallas_fold_matches(rng, monkeypatch, fold):
+    """The phase-folded kernel factorisations ((fold*up)/(fold*down) with
+    the shifted wider bank — ops/fir.py:_mix_resample_fold) must match the
+    unfolded einsum path exactly at the FM ratio, including the
+    padtype='line' edge corrections applied on the flat output."""
+    from passiveradar_tpu.ops.fir import mix_resample_poly_batch
+
+    up, down = 13, 119
+    n_in, frames = 119 * 160, 3
+    fc, fs = 100_000.0, 2_400_000.0
+    x = rng.standard_normal((frames, n_in, 2)).astype(np.float32)
+    phases = rng.standard_normal(frames).astype(np.float32)
+
+    want = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), fc, fs, up, down,
+        padtype="line"))
+    monkeypatch.setenv("PASSIVERADAR_PALLAS_RESAMPLE", "1")
+    monkeypatch.setenv("PASSIVERADAR_RESAMPLE_FOLD", str(fold))
+    got = np.asarray(mix_resample_poly_batch(
+        jnp.asarray(x), jnp.asarray(phases), fc, fs, up, down,
+        padtype="line"))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) < 2e-6 * scale
+
+
 @pytest.mark.parametrize("up,down,frames", [(13, 119, 2), (1, 3, 2),
                                             (2, 7, 10), (3, 17, 2),
                                             (5, 32, 2)])
