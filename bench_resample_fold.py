@@ -73,8 +73,10 @@ def main():
                               jnp.arange(reps, dtype=jnp.int32) % 2)
         return acc
 
+    folds = tuple(int(t) for t in os.environ.get(
+        "PASSIVERADAR_FOLD_SWEEP", "4,8").split(","))
     results = {}
-    for fold in (1, 2, 4):
+    for fold in folds:
         os.environ["PASSIVERADAR_RESAMPLE_FOLD"] = str(fold)
         routing = _routing_key()
         t0 = time.time()

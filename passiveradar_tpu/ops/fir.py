@@ -454,7 +454,14 @@ def resample_fold() -> int:
     """
     env = os.environ.get("PASSIVERADAR_RESAMPLE_FOLD")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"PASSIVERADAR_RESAMPLE_FOLD={env!r} is not an int; "
+                "using the default fold")
     # measured on v5e at the FM geometry (bench_resample_fold.py,
     # 2026-08-20, in-program scan, one channel, ms/batch8):
     # fold=1 4.64 / fold=2 3.67 / fold=4 3.39 — the per-group align-op
@@ -491,11 +498,13 @@ def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
         # folded bank width (w + (fold-1)*down lane-tiles), output s-dim,
         # and the lookahead slice ((kw+1) lane-tiles) must fit inside one
         # grid block (groups_step(down_f)*down_f lanes)
+        # 2*u_f <= 256: the kernel's matmul output holds [o_re|o_im] in
+        # the lane dim — two lane tiles max (fold=8 at 13/119 needs 224)
         for fold in range(resample_fold(), 0, -1):
             d_f, u_f = downr * fold, upr * fold
             kw = -(-(w + (fold - 1) * downr) // 128)
             gs = resample_pallas.groups_step(d_f)
-            if (kw <= resample_pallas.MAX_KW and 2 * u_f <= 128
+            if (kw <= resample_pallas.MAX_KW and 2 * u_f <= 256
                     and (kw + 1) * 128 <= gs * d_f):
                 fold_ok = fold
                 break

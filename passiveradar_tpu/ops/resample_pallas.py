@@ -45,15 +45,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# groups per grid step; their input span (groups_step(down) * down lanes)
-# must be a multiple of 128 — 128 works for any down, but even downs admit a
-# smaller step (fewer groups per step, same c_len), which keeps the folded
-# variants' VMEM blocks at the unfolded size (see groups_step below)
-GROUPS_STEP = 128
-# max bank width the kernel supports: window chunks per group. 5 (not 3)
-# so the fold=4 phase-folded bank (ops/fir.py: W + 3*down lanes at the FM
-# 13/119 ratio => 595 => kw 5) stays in-kernel
-MAX_KW = 5
+# max bank width the kernel supports: window chunks per group. 9 so the
+# fold=8 phase-folded bank (ops/fir.py: W + 7*down lanes at the FM 13/119
+# ratio => 1071 => kw 9) stays in-kernel for the fold A/B; fold=4 needs 5
+MAX_KW = 9
 # frame rows per kernel call. 8 measured BEST: 16 rows per call (both
 # channels in one kernel, 32-sublane ops, half the op count) LOST 12.1 vs
 # 10.3 ms for the two-call pair on v5e 2026-08-20 - deeper per-op operands
@@ -97,11 +92,19 @@ class manual_region:
 def groups_step(down: int) -> int:
     """Polyphase groups per grid step for a given ``down``.
 
-    Constraints: gs*down must be a multiple of 128 (lane-aligned input
-    blocks) and at least (MAX_KW+1)*128 (the lookahead slice must fit in
-    one block). The smallest such gs minimises the per-step VMEM block —
-    for the phase-folded banks (ops/fir.py, fold>1) down grows by the fold
-    factor while gs shrinks by it, keeping c_len = gs*down constant."""
+    gs*down (the step's input span) is always a multiple of 128, so each
+    grid step reads lane-aligned input blocks; 128 groups works for any
+    down, but downs sharing factors with 128 admit a smaller step (fewer
+    groups per step, same span), which keeps the phase-folded banks'
+    (ops/fir.py, fold>1) VMEM blocks at the unfolded size — down grows by
+    the fold factor while gs shrinks by it, c_len = gs*down constant.
+
+    The secondary goal — gs*down >= (MAX_KW+1)*128 so the lookahead slice
+    fits inside one block — is BEST-EFFORT: for small ``down`` the loop
+    caps gs at 128 and returns a value violating it. Callers must
+    re-validate ((kw+1)*128 <= gs*down); mix_regroup_matmul raises on
+    unsupported geometries and the fir.py gate falls back to the einsum
+    path."""
     import math as _math
 
     gs = 128 // _math.gcd(down, 128)
@@ -203,6 +206,10 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
     steps = -(-groups // gs)
     c_len = gs * down
     look = (kw + 1) * 128
+    if look > c_len:
+        raise ValueError(
+            f"lookahead {look} lanes exceeds the grid block span "
+            f"{c_len} (groups_step({down})={gs}) — geometry unsupported")
     need = (steps + 1) * c_len
     xp = jnp.zeros((2 * f8, need), jnp.float32)
     xp = xp.at[:f, :n].set(planes_re)

@@ -165,7 +165,7 @@ def test_mix_resample_batch_falls_back_for_pure_upsample(rng, monkeypatch):
     assert np.max(np.abs(got - want)) < 1e-6 * np.max(np.abs(want))
 
 
-@pytest.mark.parametrize("fold", [2, 4])
+@pytest.mark.parametrize("fold", [2, 4, 8])
 def test_mix_resample_batch_pallas_fold_matches(rng, monkeypatch, fold):
     """The phase-folded kernel factorisations ((fold*up)/(fold*down) with
     the shifted wider bank — ops/fir.py:_mix_resample_fold) must match the
