@@ -95,15 +95,17 @@ def main():
     # sweep (SEGMENT_FFT_LEN is trace-time: fresh jit closure per value)
     from passiveradar_tpu.ops import clutter as _cl
 
-    def _impl_fn(impl):
+    def _impl_fn(impl, solver="levinson"):
         return jax.jit(lambda r, s: jax.vmap(
             lambda rr, ss: ls_filter_multiple(
                 rr, ss, cfg.num_range_cells, cfg.IF_sample_rate,
-                cfg.clutter_doppler_bins, impl=impl))(r, s))
+                cfg.clutter_doppler_bins, impl=impl, solver=solver))(r, s))
 
-    timeit("clutter impl=carry", _impl_fn("carry"), ref_if, srv_if)
-    timeit("clutter impl=coupled", _impl_fn("coupled"), ref_if, srv_if)
-    for flen in (2048, 4096, 8192, 16384, 32768):
+    for impl in ("carry", "coupled"):
+        for solver in ("levinson", "gs_matrix", "gs_dense"):
+            timeit(f"clutter impl={impl} solver={solver}",
+                   _impl_fn(impl, solver), ref_if, srv_if)
+    for flen in (2048, 4096):
         _cl.SEGMENT_FFT_LEN = flen
         try:
             timeit(f"clutter impl=segment f={flen}", _impl_fn("segment"),

@@ -311,6 +311,30 @@ def _skew_toeplitz(e: jnp.ndarray, m: int) -> jnp.ndarray:
     return flat[..., :2 * m * m].reshape(lead + (m, 2 * m))[..., :m]
 
 
+def _tail_toeplitz(tails: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(..., m-1, m) truncation-tail operators T[r, j] = rs[n + r - j]
+    (j > r) from the (..., m) last-m-samples rows (tails[..., i] =
+    rs[n-m+i]). Diagonal d = j - r ∈ [1, m-1] holds tails[m-d] — the
+    _tri_conv_wrap table — so the build is one gather-free _skew_toeplitz
+    reshape instead of an (m-1)×m index-matrix gather."""
+    lead = tails.shape[:-1]
+    z1 = jnp.zeros(lead + (1,), tails.dtype)
+    zr = jnp.zeros(lead + (m + 1,), tails.dtype)
+    e = jnp.concatenate([z1, jnp.flip(tails[..., 1:], axis=-1), zr], axis=-1)
+    return _skew_toeplitz(e, m)[..., :m - 1, :]
+
+
+def _two_sided_toeplitz(v: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(..., m, m) Toeplitz M[..., l, j] = v[..., (l-j) + m - 1] from the
+    (..., 2m-1) two-sided lag vector, gather-free: diagonal d = j - l ∈
+    [-(m-1), m-1] holds v[m-1-d], so the _skew_toeplitz table is
+    [flip(v[:m]), 0, 0, flip(v[m:])]."""
+    z2 = jnp.zeros(v.shape[:-1] + (2,), v.dtype)
+    e = jnp.concatenate([jnp.flip(v[..., :m], axis=-1), z2,
+                         jnp.flip(v[..., m:], axis=-1)], axis=-1)
+    return _skew_toeplitz(e, m)
+
+
 def _tri_corr_wrap(a: jnp.ndarray, b: jnp.ndarray, m: int) -> jnp.ndarray:
     """Circular-correlation alias terms: w[j] = Σ_{t<j} a[t]·conj(b[t+m-j]).
 
@@ -636,12 +660,9 @@ def ls_filter_multiple(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
 
 def _tail_matrices_m(tails: jnp.ndarray, m: int) -> jnp.ndarray:
     """(nb, m-1, m) truncation-tail operators T_b[r, j] = rs_b[n + r - j]
-    (j > r) from the (nb, m) last-m-samples tails (tails[i] = rs_b[n-m+i])."""
-    r_ = np.arange(m - 1)[:, None]
-    j_ = np.arange(m)[None, :]
-    idx = np.clip(m + r_ - j_, 0, m - 1)
-    t = tails[:, jnp.asarray(idx)]
-    return jnp.where(jnp.asarray(j_ > r_), t, 0)
+    (j > r) from the (nb, m) last-m-samples tails (tails[i] = rs_b[n-m+i]);
+    gather-free via _tail_toeplitz."""
+    return _tail_toeplitz(tails, m)
 
 
 def _ls_multiple_coupled(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
@@ -706,8 +727,7 @@ def _ls_multiple_coupled(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
         # Toeplitz part from the two-sided lags: G_ab[-u] = conj(G_ba[u])
         v = jnp.concatenate([jnp.conj(jnp.flip(g_ba[:, 1:], axis=-1)), g_ab],
                             axis=-1)                    # (np, 2m-1)
-        lj = np.arange(m)[:, None] - np.arange(m)[None, :] + m - 1
-        m_toep = v[:, jnp.asarray(lj)]                  # (np, m, m)
+        m_toep = _two_sided_toeplitz(v, m)              # (np, m, m)
         t_all = _tail_matrices_m(tails, m)              # (nb, m-1, m)
         m_tail = jnp.einsum("prl,prj->plj",
                             jnp.conj(t_all[jnp.asarray(bi)]),
@@ -824,14 +844,10 @@ def _tail_matrices(rs_all: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
     T_b · taps is the part of the linear convolution conv(rs_b, taps) that
     falls beyond sample n — removed by the reference's truncation
     (clutter_removal.py:153-155) and therefore absent from the residual the
-    next bin's pass correlates against.
+    next bin's pass correlates against. Gather-free via _tail_toeplitz
+    (tails[0] = rs[n-m] rides along unused: only diagonals d ≥ 1 appear).
     """
-    tails = rs_all[:, n - m + 1:]                      # rs_b[n-m+1 .. n-1]
-    r = np.arange(m - 1)[:, None]
-    j = np.arange(m)[None, :]
-    idx = np.clip(r - j + m - 1, 0, m - 2)
-    t = tails[:, jnp.asarray(idx)]
-    return jnp.where(jnp.asarray(j > r), t, 0)
+    return _tail_toeplitz(rs_all[:, n - m:], m)
 
 
 def _ls_multiple_segment(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
@@ -905,8 +921,7 @@ def _ls_multiple_segment(ref: jnp.ndarray, srv: jnp.ndarray, filter_len: int,
         # v[d + m-1] = G_{a,b}[d],  G_{a,b}[-u] = conj(G_{b,a}[u])
         neg = jnp.conj(jnp.flip(gpos[bi, ai, 1:], axis=-1))
         v = jnp.concatenate([neg, gpos[ai, bi]], axis=-1)   # (np, 2m-1)
-        lj = np.arange(m)[:, None] - np.arange(m)[None, :] + m - 1
-        m_toep = v[:, jnp.asarray(lj)]                      # (np, m, m)
+        m_toep = _two_sided_toeplitz(v, m)                  # (np, m, m)
         # truncation-tail correction  (T_bᴴ T_a)
         t_all = _tail_matrices(rs_all, n, m)                # (nb, m-1, m)
         m_tail = jnp.einsum("prl,prj->plj", jnp.conj(t_all[bi]), t_all[ai],
