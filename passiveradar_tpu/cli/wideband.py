@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--shard", action="store_true",
                    help="Shard the selected-channel axis across all local "
                         "devices (channel count must divide the device count)")
+    p.add_argument("--integrate", action="store_true",
+                   help="Also write the noncoherently integrated "
+                        "multi-illuminator stack (sum of |CAF| over the "
+                        "selected channels) to <output>.integrated.<ftype>")
     args = p.parse_args(argv)
     cfg = load(args)
     if cfg.wideband_channels < 2:
@@ -45,11 +49,14 @@ def main(argv=None):
     reader = CaptureReader(cfg)
     t0 = time.time()
     n = run_wideband_capture(reader, cfg, batch_frames=args.batch_frames,
-                             mesh=mesh)
+                             mesh=mesh, integrate=args.integrate)
     write_metadata(cfg, n)
     dt = time.time() - t0
     paths = ", ".join(channel_path(cfg, k)
                       for k in cfg.wideband_channel_select)
+    if args.integrate:
+        from passiveradar_tpu.wideband import integrated_path
+        paths += f", {integrated_path(cfg)} (integrated)"
     print(f"Saved {n} CPIs x {len(cfg.wideband_channel_select)} channels "
           f"({n / dt:.1f} CPI/s) to {paths}; metadata in {cfg.meta_fname}")
     reader.close()

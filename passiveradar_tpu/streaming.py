@@ -57,22 +57,65 @@ def _zeros_halo(ref_c, h: int):
     return z, z
 
 
+@jax.jit
+def _track_summary(tracks):
+    """Pack the per-track scalars into ONE tiny (n_tracks, 6) float32 array.
+
+    Columns: status, lifetime, estimate (range, doppler), last measurement
+    (range, doppler). A single ~240 B device fetch replaces the full track
+    table's many-leaf pytree fetch (the Kalman covariances etc. stay on
+    device) — the cheap leg of the streaming light mode.
+    """
+    return jnp.stack([
+        tracks["status"].astype(jnp.float32),
+        tracks["lifetime"].astype(jnp.float32),
+        tracks["estimate"][:, 0], tracks["estimate"][:, 1],
+        tracks["measurement"][:, 0], tracks["measurement"][:, 1],
+    ], axis=1)
+
+
+def _fetch_summary(tracks) -> dict:
+    a = np.asarray(_track_summary(tracks))
+    return {
+        "status": a[:, 0].astype(np.int32),
+        "lifetime": a[:, 1].astype(np.int32),
+        "estimate": a[:, 2:4],
+        "measurement": a[:, 4:6],
+    }
+
+
 @dataclasses.dataclass
 class StreamResult:
     frame_index: int
-    caf: np.ndarray          # (num_doppler, num_range+1) complex64
-    cfar: np.ndarray         # (num_range+1 x num_doppler orientation as caf)
-    tracks: dict             # track table snapshot (status, estimate, ...)
+    caf: Optional[np.ndarray]    # (num_doppler, num_range+1) complex64;
+    #                              None in detail="summary" mode
+    cfar: Optional[np.ndarray]   # same orientation as caf; None in summary mode
+    tracks: Optional[dict]       # full track-table snapshot; None in summary mode
+    summary: Optional[dict] = None   # detail="summary": {status, lifetime,
+    #                                  estimate, measurement} host arrays
 
 
 class StreamingProcessor:
-    """Real-time frame-at-a-time processor with carried tracker state."""
+    """Real-time frame-at-a-time processor with carried tracker state.
+
+    ``detail`` selects the per-push result weight: "full" (default) fetches
+    the CAF + CFAR maps and the whole track table to host every CPI;
+    "summary" skips the map/table fetch entirely and returns only a
+    device-packed confirmed-track summary (~KB — see _track_summary), with
+    the latest maps still available on demand via fetch_maps(). On slow
+    host↔device links the fetch is a large share of the per-push latency
+    (bench_stream.py), so summary mode is the realtime-budget lever.
+    """
 
     def __init__(self, cfg: RadarConfig, n_tracks: int = 10,
-                 cfar_kernel: tuple = (18, 4)):
+                 cfar_kernel: tuple = (18, 4), detail: str = "full"):
+        if detail not in ("full", "summary"):
+            raise ValueError(f"unknown detail mode {detail!r}")
         self.cfg = cfg
         self.n_tracks = n_tracks
         self.cfar_kernel = cfar_kernel
+        self.detail = detail
+        self._last_maps = None
         self._tracks = init_tracks(n_tracks)
         self._extent = jnp.asarray(
             (cfg.max_doppler_actual, cfg.max_range_actual), jnp.float32)
@@ -100,8 +143,10 @@ class StreamingProcessor:
         s = clutter_batch(r, s, cfg)
         return r, s
 
-    def _finish(self, prev, cur, last: bool = False) -> StreamResult:
+    def _finish(self, prev, cur, last: bool = False,
+                detail: Optional[str] = None) -> StreamResult:
         cfg = self.cfg
+        detail = self.detail if detail is None else detail
         idx, ref_c, srv_c = prev
         h = cfg.window_overlap
         if idx == 0:
@@ -119,6 +164,12 @@ class StreamingProcessor:
                                         self.n_tracks, cfg.candidate_budget)
         tail_r, tail_s, _, _ = _edges(ref_c, srv_c, h)
         self._left_tail = (tail_r, tail_s)
+        self._last_maps = (caf, cf)
+        if detail == "summary":
+            return StreamResult(
+                frame_index=idx, caf=None, cfar=None, tracks=None,
+                summary=_fetch_summary(self._tracks),
+            )
         return StreamResult(
             frame_index=idx,
             caf=to_host_complex(caf),
@@ -126,23 +177,38 @@ class StreamingProcessor:
             tracks=jax.tree.map(np.asarray, self._tracks),
         )
 
-    def push(self, raw_ref: np.ndarray, raw_srv: np.ndarray
-             ) -> Optional[StreamResult]:
+    def fetch_maps(self):
+        """Fetch the most recently finished frame's (caf, cfar) maps to host.
+
+        The on-demand companion to ``detail="summary"`` pushes; returns None
+        before the first finished frame.
+        """
+        if self._last_maps is None:
+            return None
+        caf, cf = self._last_maps
+        return to_host_complex(caf), np.asarray(cf)
+
+    def push(self, raw_ref: np.ndarray, raw_srv: np.ndarray,
+             detail: Optional[str] = None) -> Optional[StreamResult]:
         """Feed one frame's raw chunk per channel (interleaved float32 of
         length input_chunk_length, or complex64 of half that). Returns the
-        completed result for the previous frame, or None for the first push."""
+        completed result for the previous frame, or None for the first push.
+        ``detail`` overrides the processor default for this push ("full" /
+        "summary" — see the class docstring)."""
+        if detail is not None and detail not in ("full", "summary"):
+            raise ValueError(f"unknown detail mode {detail!r}")
         cleaned = self._clean(raw_ref, raw_srv)
         result = None
         if self._hist:
-            result = self._finish(self._hist[-1], cleaned)
+            result = self._finish(self._hist[-1], cleaned, detail=detail)
         self._hist = [(self._index, *cleaned)]
         self._index += 1
         return result
 
-    def flush(self) -> Optional[StreamResult]:
+    def flush(self, detail: Optional[str] = None) -> Optional[StreamResult]:
         """Finish the final in-flight frame (zero right halo at stream end)."""
         if not self._hist:
             return None
-        result = self._finish(self._hist[-1], None, last=True)
+        result = self._finish(self._hist[-1], None, last=True, detail=detail)
         self._hist = []
         return result

@@ -83,6 +83,13 @@ def channel_path(cfg: RadarConfig, k: int) -> str:
     return f"{cfg.output_fname}.ch{k}.{cfg.range_doppler_map_ftype}"
 
 
+def integrated_path(cfg: RadarConfig) -> str:
+    """Output stack path for the noncoherently integrated multi-channel map
+    (integrate_channels over the selected channels; same /xambg contract as
+    a per-channel stack, so the plot/track tools read it unchanged)."""
+    return f"{cfg.output_fname}.integrated.{cfg.range_doppler_map_ftype}"
+
+
 def _to_complex(x: jnp.ndarray) -> jnp.ndarray:
     """(…, 2) float32 IQ pairs → complex64 (complex input passes through)."""
     if jnp.iscomplexobj(x):
@@ -224,11 +231,20 @@ def wideband_frames_shmap(raw_ref: jnp.ndarray, raw_srv: jnp.ndarray,
     return _wideband_shmap_program(cfg, mesh, axis_name)(raw_ref, raw_srv)
 
 
+@jax.jit
+def _integrate_batch(maps: jnp.ndarray) -> jnp.ndarray:
+    """(F, S, nf, R+1) per-channel maps → (F, nf, R+1) noncoherent sum
+    Σ_k |CAF_k| (integrate_channels over the batch's channel axis),
+    computed device-side before the host fetch."""
+    return jnp.sum(jnp.abs(maps), axis=1)
+
+
 def run_wideband_capture(reader, cfg: RadarConfig,
                          batch_frames: int | None = None,
                          writers: dict | None = None,
                          progress: bool = True, mesh=None,
-                         axis_name: str = "channels") -> int:
+                         axis_name: str = "channels",
+                         integrate: bool = False) -> int:
     """Host loop: stream a wideband capture into per-channel map stacks.
 
     ``writers``: {channel_index: MapWriter-like} (default: one MapWriter per
@@ -236,6 +252,10 @@ def run_wideband_capture(reader, cfg: RadarConfig,
     shape (zero-padded final batch) so exactly one XLA program compiles.
     ``mesh``: optional 1-D device mesh — the selected-channel axis shards
     over it via wideband_frames_shmap (the per-illuminator parallel axis).
+    ``integrate``: additionally write the noncoherently integrated
+    multi-illuminator stack (integrate_channels, computed on device) to
+    integrated_path(cfg) — same /xambg file contract, readable by the
+    standard plot/track tools.
     """
     from passiveradar_tpu.io.hdf5 import PrefetchReader
     from passiveradar_tpu.io.writers import MapWriter
@@ -248,6 +268,8 @@ def run_wideband_capture(reader, cfg: RadarConfig,
     if own_writers:
         writers = {k: MapWriter(cfg, total, channel_path(cfg, k))
                    for k in select}
+    int_writer = MapWriter(cfg, total, integrated_path(cfg)) \
+        if integrate else None
 
     batches = [(s, min(bf, total - s)) for s in range(0, total, bf)]
     prefetch = PrefetchReader(reader, batches, mode="iq")
@@ -259,15 +281,18 @@ def run_wideband_capture(reader, cfg: RadarConfig,
         buf_ref[:count] = ref_raw.view(np.float32).reshape(count, lc, 2)
         buf_srv[:count] = srv_raw.view(np.float32).reshape(count, lc, 2)
         if mesh is not None:
-            maps = wideband_frames_shmap(jnp.asarray(buf_ref),
-                                         jnp.asarray(buf_srv), cfg,
-                                         mesh, axis_name)
+            maps_dev = wideband_frames_shmap(jnp.asarray(buf_ref),
+                                             jnp.asarray(buf_srv), cfg,
+                                             mesh, axis_name)
         else:
-            maps = wideband_frames(jnp.asarray(buf_ref),
-                                   jnp.asarray(buf_srv), cfg)
-        maps = to_host_complex(maps)[:count]     # (count, S, nf, R+1)
+            maps_dev = wideband_frames(jnp.asarray(buf_ref),
+                                       jnp.asarray(buf_srv), cfg)
+        maps = to_host_complex(maps_dev)[:count]     # (count, S, nf, R+1)
         for i, k in enumerate(select):
             writers[k].write(maps[:, i], start)
+        if int_writer is not None:
+            integ = np.asarray(_integrate_batch(maps_dev))[:count]
+            int_writer.write(integ.astype(np.complex64), start)
         done += count
         if progress:
             print(f"\r  processed {done}/{total} wideband CPIs", end="",
@@ -277,6 +302,8 @@ def run_wideband_capture(reader, cfg: RadarConfig,
     if own_writers:
         for w in writers.values():
             w.close()
+    if int_writer is not None:
+        int_writer.close()
     return total
 
 
@@ -304,28 +331,40 @@ class WidebandStreamingProcessor:
     """
 
     def __init__(self, cfg: RadarConfig, n_tracks: int = 10,
-                 cfar_kernel: tuple = (18, 4)):
+                 cfar_kernel: tuple = (18, 4), detail: str = "full"):
         from passiveradar_tpu.detect.trackers import init_tracks
         if cfg.wideband_channels < 2:
             raise ValueError("cfg.wideband_channels must be >= 2; "
                              "set it in the YAML to enable wideband mode")
+        if detail not in ("full", "summary"):
+            raise ValueError(f"unknown detail mode {detail!r}")
         self.cfg = cfg
         self.n_tracks = n_tracks
         self.cfar_kernel = cfar_kernel
+        self.detail = detail
+        self._last_maps = None
         self._tracks = {k: init_tracks(n_tracks)
                         for k in cfg.wideband_channel_select}
         self._extent = jnp.asarray(
             (cfg.max_doppler_actual, cfg.max_range_actual), jnp.float32)
         self._index = 0
 
-    def push(self, raw_ref: np.ndarray, raw_srv: np.ndarray) -> dict:
+    def push(self, raw_ref: np.ndarray, raw_srv: np.ndarray,
+             detail: str | None = None) -> dict:
         """Feed one wideband CPI per channel pair (complex64 of
         wideband_channels·cpi_samples, or the float32 IQ-pair view).
-        Returns {channel_index: StreamResult} for this CPI."""
+        Returns {channel_index: StreamResult} for this CPI. In
+        ``detail="summary"`` mode (per-push override of the constructor
+        default) the per-channel map/track fetch is skipped — each
+        StreamResult carries only the tiny track summary; the CPI's maps
+        stay on device, fetchable via fetch_maps()."""
         from passiveradar_tpu.detect.trackers import multitarget_step
         from passiveradar_tpu.ops.util import to_host_complex
-        from passiveradar_tpu.streaming import StreamResult
+        from passiveradar_tpu.streaming import StreamResult, _fetch_summary
         cfg = self.cfg
+        detail = self.detail if detail is None else detail
+        if detail not in ("full", "summary"):
+            raise ValueError(f"unknown detail mode {detail!r}")
 
         def ship(raw):
             raw = np.asarray(raw)
@@ -335,16 +374,34 @@ class WidebandStreamingProcessor:
 
         maps, cf = _wideband_step(ship(raw_ref), ship(raw_srv), cfg,
                                   *self.cfar_kernel)
+        self._last_maps = (maps, cf)
         results = {}
         for i, k in enumerate(cfg.wideband_channel_select):
             self._tracks[k] = multitarget_step(
                 self._tracks[k], cf[i], self._extent, self.n_tracks,
                 cfg.candidate_budget)
-            results[k] = StreamResult(
-                frame_index=self._index,
-                caf=to_host_complex(maps[i]),
-                cfar=np.asarray(cf[i]),
-                tracks=jax.tree.map(np.asarray, self._tracks[k]),
-            )
+            if detail == "summary":
+                results[k] = StreamResult(
+                    frame_index=self._index, caf=None, cfar=None,
+                    tracks=None, summary=_fetch_summary(self._tracks[k]),
+                )
+            else:
+                results[k] = StreamResult(
+                    frame_index=self._index,
+                    caf=to_host_complex(maps[i]),
+                    cfar=np.asarray(cf[i]),
+                    tracks=jax.tree.map(np.asarray, self._tracks[k]),
+                )
         self._index += 1
         return results
+
+    def fetch_maps(self) -> dict | None:
+        """Fetch the latest CPI's per-channel (caf, cfar) maps to host —
+        the on-demand companion to detail="summary" pushes. Returns
+        {channel_index: (caf, cfar)}, or None before the first push."""
+        from passiveradar_tpu.ops.util import to_host_complex
+        if self._last_maps is None:
+            return None
+        maps, cf = self._last_maps
+        return {k: (to_host_complex(maps[i]), np.asarray(cf[i]))
+                for i, k in enumerate(self.cfg.wideband_channel_select)}

@@ -105,6 +105,44 @@ def test_streaming_uses_scaled_candidate_budget(tiny_cfg, monkeypatch):
     assert seen == [cfg.candidate_budget]
 
 
+def test_streaming_summary_mode(tiny_cfg):
+    """detail="summary" must skip the map/table fetch (caf/cfar/tracks None),
+    return the packed track summary matching the full-mode track table, and
+    keep the maps fetchable on demand via fetch_maps()."""
+    cfg = tiny_cfg
+    n_frames = 4
+    ref, srv = _make_frames(cfg, n_frames, (Target(40, 20.0, 0.12),))
+
+    full = StreamingProcessor(cfg, n_tracks=4)
+    light = StreamingProcessor(cfg, n_tracks=4, detail="summary")
+    for f in range(n_frames):
+        want = full.push(ref[f], srv[f])
+        got = light.push(ref[f], srv[f])
+        if want is None:
+            assert got is None
+            continue
+        assert got.caf is None and got.cfar is None and got.tracks is None
+        assert got.frame_index == want.frame_index
+        np.testing.assert_array_equal(got.summary["status"],
+                                      want.tracks["status"])
+        np.testing.assert_array_equal(got.summary["lifetime"],
+                                      want.tracks["lifetime"])
+        np.testing.assert_allclose(got.summary["estimate"],
+                                   want.tracks["estimate"], rtol=1e-6)
+        np.testing.assert_allclose(got.summary["measurement"],
+                                   want.tracks["measurement"], rtol=1e-6)
+        caf, cf = light.fetch_maps()
+        np.testing.assert_allclose(np.abs(caf), np.abs(want.caf), rtol=1e-5,
+                                   atol=1e-6 * np.max(np.abs(want.caf)))
+        np.testing.assert_allclose(cf, want.cfar, rtol=1e-5, atol=1e-5)
+    # per-push override works both directions
+    got = light.flush(detail="full")
+    want = full.flush()
+    assert got.caf is not None and got.summary is None
+    np.testing.assert_array_equal(got.tracks["status"],
+                                  want.tracks["status"])
+
+
 def test_streaming_tracker_locks(tiny_cfg):
     cfg = tiny_cfg
     n_frames = 14

@@ -90,13 +90,15 @@ def test_wideband_capture_end_to_end(tmp_path, rng):
     cfg_path = str(tmp_path / "wb.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(params, f)
-    wb_main(["--config", cfg_path])
+    wb_main(["--config", cfg_path, "--integrate"])
 
     nf, r = cfg.num_doppler_cells, cfg.num_range_cells
     k = cfg.wideband_channels
+    stacks = {}
     for ch in (1, 2):
         with h5py.File(channel_path(cfg, ch)) as f:
             stack = np.asarray(f["/xambg"])
+        stacks[ch] = stack
         assert stack.shape == (nf, r + 1, 3)
         for fr in range(3):
             m = np.abs(stack[:, :, fr])
@@ -104,6 +106,16 @@ def test_wideband_capture_end_to_end(tmp_path, rng):
             assert rbin == r - delay // k, (ch, fr, rbin)
             assert abs(fbin - (nf // 2 - round(dop / cfg.doppler_cell_width))
                        ) <= 1, (ch, fr, fbin)
+    # --integrate: the noncoherent sum over the selected channels, same
+    # /xambg contract (integrate_channels math, wideband.py:_integrate_batch)
+    from passiveradar_tpu.wideband import integrated_path
+    with h5py.File(integrated_path(cfg)) as f:
+        integ = np.asarray(f["/xambg"])
+    assert integ.shape == (nf, r + 1, 3)
+    want = np.abs(stacks[1]) + np.abs(stacks[2])
+    np.testing.assert_allclose(np.real(integ), want, rtol=1e-5,
+                               atol=1e-5 * np.max(want))
+    assert np.max(np.abs(np.imag(integ))) == 0.0
     meta = np.load(cfg.meta_fname)
     assert meta["frame_timestamps"].shape == (3,)
     assert meta["range_bins"].shape == (r + 1,)
@@ -127,6 +139,35 @@ def test_wideband_streaming_matches_offline(tmp_path, rng):
                 <= 1e-4 * np.max(np.abs(offline[fr, i]))
             assert res.cfar.shape == res.caf.shape
             assert res.tracks["status"].shape == (4,)
+
+
+def test_wideband_streaming_summary_mode(tmp_path, rng):
+    """detail="summary" pushes skip the per-channel map fetch and return the
+    packed track summary; fetch_maps() returns the same maps a full push
+    would have."""
+    params, cfg = _wb_cfg(tmp_path)
+    ref, srv = _wb_signals(cfg, 2, rng)
+    n = cfg.cpi_samples * cfg.wideband_channels
+
+    full = WidebandStreamingProcessor(cfg, n_tracks=4)
+    light = WidebandStreamingProcessor(cfg, n_tracks=4, detail="summary")
+    for fr in range(2):
+        chunk = (ref[fr * n:(fr + 1) * n], srv[fr * n:(fr + 1) * n])
+        want = full.push(*chunk)
+        got = light.push(*chunk)
+        assert set(got) == set(want)
+        maps = light.fetch_maps()
+        for ch in want:
+            assert got[ch].caf is None and got[ch].tracks is None
+            np.testing.assert_array_equal(got[ch].summary["status"],
+                                          want[ch].tracks["status"])
+            np.testing.assert_allclose(got[ch].summary["estimate"],
+                                       want[ch].tracks["estimate"],
+                                       rtol=1e-6)
+            caf, cf = maps[ch]
+            np.testing.assert_allclose(
+                np.abs(caf), np.abs(want[ch].caf), rtol=1e-5,
+                atol=1e-6 * np.max(np.abs(want[ch].caf)))
 
 
 def test_wideband_shmap_matches_vmap(tmp_path, rng):
