@@ -21,7 +21,8 @@ def main(argv=None):
     xambg = load_maps(cfg)
     cf = cfar_stack(xambg)
     hist = simple_target_tracker(cf, cfg.max_range_actual,
-                                 cfg.max_doppler_actual, frames_last=True)
+                                 cfg.max_doppler_actual, frames_last=True,
+                                 strict=cfg.strict_frame_parity)
     est = np.asarray(hist["estimate"])       # (F, 2) [range, doppler]
     lock = np.asarray(hist["lock_mode"])     # (F, 4)
     locked = lock[:, 2] == 1

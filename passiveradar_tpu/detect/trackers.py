@@ -294,8 +294,21 @@ def _simple_kalman_init():
     return st
 
 
-@jax.jit
-def _simple_scan(frames, range_extent, doppler_extent):
+def _py_slice_mask(coords, idx, half, n):
+    """Boolean mask of ``coords`` selected by the Python slice
+    ``a[idx-half : idx+half]`` on a length-n axis — including the
+    negative-start wraparound quirk: for idx < half the start index
+    becomes n+idx-half, which usually EXCEEDS the stop and yields an
+    empty selection (the reference's literal gate behavior,
+    target_detection.py:570-588)."""
+    start = jnp.where(idx >= half, idx - half,
+                      jnp.maximum(n + idx - half, 0))
+    stop = jnp.minimum(idx + half, n)
+    return (coords >= start) & (coords < stop)
+
+
+@functools.partial(jax.jit, static_argnames=("strict",))
+def _simple_scan(frames, range_extent, doppler_extent, strict: bool = False):
     nr, nf = frames.shape[1], frames.shape[2]
     rows = jnp.arange(nr)[:, None]
     cols = jnp.arange(nf)[None, :]
@@ -313,7 +326,15 @@ def _simple_scan(frames, range_extent, doppler_extent):
         lock = st["lock_mode"]
         half_r = jnp.where(lock[2] == 1, 16, 24)
         half_d = jnp.where(lock[2] == 1, 32, 48)
-        gate = ((jnp.abs(rows - ly) < half_r) & (jnp.abs(cols - lx) < half_d))
+        if strict:
+            # literal reference gate: Python-slice semantics incl. the
+            # negative-start empty-gate quirk
+            gate = (_py_slice_mask(rows, ly, half_r, nr)
+                    & _py_slice_mask(cols, lx, half_d, nf))
+        else:
+            # generalised: centred rectangle clamped at the frame edges
+            gate = ((jnp.abs(rows - ly) < half_r)
+                    & (jnp.abs(cols - lx) < half_d))
         use_gate = lock[0] != 1
         gated = jnp.where(use_gate & ~gate.reshape(nr, nf), 0.0, frame)
 
@@ -342,7 +363,8 @@ def _simple_scan(frames, range_extent, doppler_extent):
 
 
 def simple_target_tracker(data, range_extent: float, doppler_extent: float,
-                          frames_last: bool | None = None):
+                          frames_last: bool | None = None,
+                          strict: bool = False):
     """Single-target lock-state tracker (reference target_detection.py:626-681).
 
     data: (num_doppler, num_range, num_frames) (frames_last=True) or
@@ -350,6 +372,16 @@ def simple_target_tracker(data, range_extent: float, doppler_extent: float,
     Each frame is normalised, reoriented, clutter-zeroed, then the gated
     argmax becomes the measurement for an adaptive Kalman update; a 4-state
     lock-mode one-hot is advanced through the found/lost transition matrices.
+
+    ``strict=True`` replicates the reference's literal per-frame behaviors
+    for frame-for-frame output parity (the tracker analog of
+    cfg.strict_frame_parity): the hard-coded Doppler cols-250:260 clutter
+    zeroing (reference target_detection.py:673 — a no-op when nf <= 250,
+    exactly as in numpy) instead of the generalised centre-relative ±5
+    zeroing, and Python-slice measurement gates including the
+    negative-start empty-gate quirk (target_detection.py:570-588) instead
+    of edge-clamped rectangles. Oracle-tested against a numpy
+    transcription of the reference loop (tests/test_detect.py).
     """
     data = _orient_stack(data, frames_last)
     f, nf, nr = data.shape
@@ -359,8 +391,11 @@ def simple_target_tracker(data, range_extent: float, doppler_extent: float,
     frames = jnp.flip(jnp.swapaxes(frames, 1, 2), axis=2)   # (F, nr, nf)
     frames = frames.at[:, :8, :].set(0.0)
     frames = frames.at[:, -8:, :].set(0.0)
-    dc = nf // 2
-    frames = frames.at[:, :, dc - 5:dc + 5].set(0.0)
+    if strict:
+        frames = frames.at[:, :, 250:260].set(0.0)
+    else:
+        dc = nf // 2
+        frames = frames.at[:, :, dc - 5:dc + 5].set(0.0)
 
     return _simple_scan(frames, jnp.float32(range_extent),
-                        jnp.float32(doppler_extent))
+                        jnp.float32(doppler_extent), strict=strict)

@@ -1,5 +1,6 @@
 """Detection & tracking: CFAR, Kalman, measurements, trackers, persistence."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy import signal as sps
@@ -216,6 +217,106 @@ def test_simple_tracker_locks_onto_target(rng):
     assert lock[-1, 2] == 1, "tracker failed to reach the locked state"
     assert abs(meas[-1, 0] - 50.0) < 5.0
     assert abs(meas[-1, 1] - 6.0) < 3.0
+
+
+def _simple_strict_oracle(data, range_extent, doppler_extent):
+    """Numpy transcription of the reference simple-tracker frame loop
+    (/root/reference/passiveRadar/target_detection.py:539-681), literal
+    behaviors included: Python-slice measurement gates (negative starts
+    silently yield empty gates) and the hard-coded cols-250:260 zeroing.
+    data: (nf_doppler, nr_range, F) stack as the reference loads it."""
+    n_frames = data.shape[2]
+    st = dict(
+        x=np.array([30.0, 2.0, -20.0, -1.0]),
+        P=np.diag([5.0, 0.0225, 0.04, 0.1]),
+        F1=np.array([[1, 0, -0.003, 0], [0, 0, -0.003, -0.03],
+                     [0, 0, 1, 1], [0, 0, 0, 1]], np.float64),
+        F2=np.array([[1, 1, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 1, 1], [0, 0, 0, 1]], np.float64),
+        Q=np.diag([2.0, 0.02, 0.2, 0.05]),
+        H=np.array([[1, 0, 0, 0], [0, 0, 1, 0]], np.float64),
+        R=np.diag([5.0, 5.0]),
+    )
+    lock = np.array([1.0, 0.0, 0.0, 0.0])
+    estimate = st["H"] @ st["x"]
+    measurement = np.array([35.0, -30.0])
+    ly, lx = 50, 50
+    t_found = np.array([[0, 1, 0, 0], [0, 0, 1, 0],
+                        [0, 0, 1, 0], [0, 0, 1, 0]], np.float64).T
+    t_lost = np.array([[1, 0, 0, 0], [1, 0, 0, 0],
+                       [0, 0, 0, 1], [1, 0, 0, 0]], np.float64).T
+    hist = []
+    for i in range(n_frames):
+        fr = data[:, :, i].astype(np.float64)
+        fr = fr / np.mean(np.abs(fr))
+        fr = np.fliplr(fr.T).copy()
+        fr[:8, :] = 0.0
+        fr[-8:, :] = 0.0
+        fr[:, 250:260] = 0.0
+        if lock[1] == 1 or lock[3] == 1:
+            g = np.zeros_like(fr)
+            g[ly - 24:ly + 24, lx - 48:lx + 48] = 1.0
+            fr = fr * g
+        elif lock[2] == 1:
+            g = np.zeros_like(fr)
+            g[ly - 16:ly + 16, lx - 32:lx + 32] = 1.0
+            fr = fr * g
+        iy, ix = np.unravel_index(np.argmax(fr), fr.shape)
+        meas = np.array([range_extent * (1.0 - iy / fr.shape[0]),
+                         doppler_extent * (2.0 * ix / fr.shape[1] - 1.0)])
+        sur = meas - estimate
+        found = np.sqrt(sur[0] ** 2 + (0.5 * sur[1]) ** 2) < 12
+        lock = (t_found if found else t_lost) @ lock
+        d = meas - measurement
+        estimate, st["x"], st["P"], _ = kalman_oracle(
+            meas, st, r_scale=float(d[0] ** 2 + d[1] ** 2))
+        measurement = meas
+        ly, lx = int(iy), int(ix)
+        hist.append((lock.copy(), measurement.copy(), (ly, lx),
+                     estimate.copy()))
+    return hist
+
+
+def test_simple_tracker_strict_matches_reference_oracle(rng):
+    """strict=True must be frame-for-frame identical to the reference loop
+    on the author's ~300x512 geometry, including the negative-index
+    empty-gate quirk (target drifting above row 24 kills the gate entirely)
+    and the literal cols-250:260 clutter zeroing (a decoy spike there must
+    never be measured)."""
+    nf, nr = 512, 300
+    # oriented frame is fliplr(data[:,:,i].T): oriented (row r, col c) maps
+    # to data[nf-1-c, r]. Phase 1: a stationary target at row 12 — the
+    # adaptive-R Kalman estimate converges (d->0 => R->0), the tracker
+    # locks, and the FIRST gated frame's Python slice [12-24:12+24] gets a
+    # negative start => EMPTY gate (the quirk). Phase 2: stationary at row
+    # 60 — lock-on again with valid (non-empty) 24/48 then 16/32 gates.
+    # A permanent decoy sits in the zeroed cols-250:260 band.
+    rows = [12] * 7 + [60] * 8
+    n_frames = len(rows)
+    data = (0.2 + rng.random((nf, nr, n_frames)) * 0.5).astype(np.float32)
+    for i in range(n_frames):
+        data[nf - 1 - 300, rows[i], i] = 50.0
+        data[nf - 1 - 255, 100, i] = 100.0      # decoy inside cols 250:260
+    got = simple_target_tracker(jnp.asarray(data), 375.0, 256.0 / 1.092,
+                                frames_last=True, strict=True)
+    want = _simple_strict_oracle(data, 375.0, 256.0 / 1.092)
+    lock = np.asarray(got["lock_mode"])
+    meas = np.asarray(got["measurement"])
+    idx = np.asarray(got["meas_idx"])
+    est = np.asarray(got["estimate"])
+    for i, (wl, wm, wi, we) in enumerate(want):
+        np.testing.assert_array_equal(lock[i], wl, err_msg=f"frame {i}")
+        assert tuple(idx[i]) == wi, (i, tuple(idx[i]), wi)
+        np.testing.assert_allclose(meas[i], wm, atol=1e-3, err_msg=f"f{i}")
+        np.testing.assert_allclose(est[i], we, atol=2e-2, err_msg=f"f{i}")
+    # the quirk really fired: some frame measured the all-zero frame origin
+    assert any(tuple(idx[i]) == (0, 0) for i in range(n_frames)), \
+        "expected the empty-gate quirk to produce an origin measurement"
+    # ... and a fully-locked (16/32) non-empty gate was also exercised
+    assert any(want[i][0][2] == 1 and tuple(idx[i]) == (60, 300)
+               for i in range(n_frames)), "no fully-locked gated frame"
+    # the decoy in the zeroed band was never measured
+    assert not any(wi == (100, 255) for _, _, wi, _ in want)
 
 
 # -------------------------------------------------------- persistence
