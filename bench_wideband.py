@@ -85,9 +85,31 @@ def main():
     float(acc)
     elapsed = time.time() - t0
 
-    # channelizer-only share: the shmap wideband path replicates the
-    # channelizer on every device (wideband.py), a design choice that is
-    # only defensible if the channelizer is a small fraction of per-CPI time
+    # shmap path on a 1-device mesh: the time-sharded channelizer program
+    # (branch-filter + causal ppermute halo + all_to_all transpose,
+    # wideband.py:_wideband_shmap_program) vs the plain vmap path — bounds
+    # the restructuring overhead that the CPU-mesh equality test cannot see
+    from jax.sharding import Mesh
+    import numpy as _np
+
+    from passiveradar_tpu.wideband import wideband_frames_shmap
+
+    mesh1 = Mesh(_np.asarray(jax.devices()[:1]), ("channels",))
+    t0 = time.time()
+    out = wideband_frames_shmap(ref, srv, cfg, mesh1)
+    float(summ(out, jnp.float32(0.0)))
+    shmap_compile_s = time.time() - t0
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for i in range(reps):
+        out = wideband_frames_shmap(ref if i % 2 else ref2,
+                                    srv if i % 2 else srv2, cfg, mesh1)
+        acc = summ(out, acc)
+    float(acc)
+    shmap_ms = (time.time() - t0) / reps * 1000.0
+
+    # channelizer-only share of per-CPI time (for the record; the shmap
+    # path above time-shards it instead of replicating it per device)
     from passiveradar_tpu.ops.channelizer import channelize_pair
     chan = jax.jit(lambda r, s: channelize_pair(
         r, s, cfg.wideband_channels,
@@ -117,6 +139,10 @@ def main():
           f"{n}-sample wideband CPIs; batch={batch}; "
           f"{cpi_per_s * n / 1e6:.0f} Msamples/s/chip; gen={gen_s:.1f}s "
           f"compile={compile_s:.1f}s run={elapsed:.2f}s", file=sys.stderr)
+    print(f"# shmap path (1-device mesh, time-sharded channelizer): "
+          f"{shmap_ms:.2f} ms/batch{batch} vs vmap {full_ms:.2f} — "
+          f"restructuring overhead {shmap_ms - full_ms:+.2f} ms "
+          f"(compile {shmap_compile_s:.1f}s)", file=sys.stderr)
     print(f"# channelizer alone (1 CPI pair): {chan_ms:.2f} ms = "
           f"{chan_ms / (full_ms / batch) * 100:.1f}% of per-CPI time "
           f"(shmap replication cost share)", file=sys.stderr)

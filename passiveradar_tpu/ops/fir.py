@@ -499,13 +499,19 @@ def mix_resample_poly_batch(x: jnp.ndarray, phases, fc: float, fs: float,
         # and the lookahead slice ((kw+1) lane-tiles) must fit inside one
         # grid block (groups_step(down_f)*down_f lanes)
         # 2*u_f <= 256: the kernel's matmul output holds [o_re|o_im] in
-        # the lane dim — two lane tiles max (fold=8 at 13/119 needs 224)
+        # the lane dim — two lane tiles max (fold=8 at 13/119 needs 224).
+        # gs_f*d_f <= gs0*down: folding must not grow the per-step VMEM
+        # block — odd folds of an odd down force gs=128 (gcd collapses) and
+        # a fold×-larger block that blows the scoped-VMEM budget (measured:
+        # fold=7 at 13/119 => c_len 106624 => 28 MB kernel stack, OOM)
+        gs0 = resample_pallas.groups_step(downr)
         for fold in range(resample_fold(), 0, -1):
             d_f, u_f = downr * fold, upr * fold
             kw = -(-(w + (fold - 1) * downr) // 128)
             gs = resample_pallas.groups_step(d_f)
             if (kw <= resample_pallas.MAX_KW and 2 * u_f <= 256
-                    and (kw + 1) * 128 <= gs * d_f):
+                    and (kw + 1) * 128 <= gs * d_f
+                    and gs * d_f <= gs0 * downr):
                 fold_ok = fold
                 break
     if fold_ok:

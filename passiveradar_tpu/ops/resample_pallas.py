@@ -45,10 +45,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# max bank width the kernel supports: window chunks per group. 9 so the
+# max bank width the kernel supports: window chunks per group. 10 so the
 # fold=8 phase-folded bank (ops/fir.py: W + 7*down lanes at the FM 13/119
-# ratio => 1071 => kw 9) stays in-kernel for the fold A/B; fold=4 needs 5
-MAX_KW = 9
+# ratio => kw 10) stays in-kernel for the fold A/B; fold=4 needs 5
+MAX_KW = 10
 # frame rows per kernel call. 8 measured BEST: 16 rows per call (both
 # channels in one kernel, 32-sublane ops, half the op count) LOST 12.1 vs
 # 10.3 ms for the two-call pair on v5e 2026-08-20 - deeper per-op operands
