@@ -85,28 +85,53 @@ def main():
     float(acc)
     elapsed = time.time() - t0
 
-    # shmap path on a 1-device mesh: the time-sharded channelizer program
-    # (branch-filter + causal ppermute halo + all_to_all transpose,
-    # wideband.py:_wideband_shmap_program) vs the plain vmap path — bounds
-    # the restructuring overhead that the CPU-mesh equality test cannot see
-    from jax.sharding import Mesh
-    import numpy as _np
+    # shmap path on a 1-device mesh vs the vmap path, both measured
+    # IN-PROGRAM (reps inside one lax.scan): bounds the time-sharded
+    # channelizer program's restructuring overhead (branch-filter +
+    # causal ppermute halo + all_to_all transpose). Per-dispatch
+    # comparisons are meaningless for this pair on the dev relay: a
+    # mesh-addressed program makes every dispatch reshard (or worse,
+    # host-restage) its ~134 MB of operands — measured +99 ms D2D /
+    # +1159 ms host-staged per dispatch, a container artifact
+    # (docs/PERFORMANCE.md round-5 note).
+    import functools as _ft
 
-    from passiveradar_tpu.wideband import wideband_frames_shmap
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from passiveradar_tpu import wideband as _wb
 
     mesh1 = Mesh(_np.asarray(jax.devices()[:1]), ("channels",))
-    t0 = time.time()
-    out = wideband_frames_shmap(ref, srv, cfg, mesh1)
-    float(summ(out, jnp.float32(0.0)))
-    shmap_compile_s = time.time() - t0
-    t0 = time.time()
-    acc = jnp.float32(0.0)
-    for i in range(reps):
-        out = wideband_frames_shmap(ref if i % 2 else ref2,
-                                    srv if i % 2 else srv2, cfg, mesh1)
-        acc = summ(out, acc)
-    float(acc)
-    shmap_ms = (time.time() - t0) / reps * 1000.0
+    refs = jnp.stack([ref, ref2])
+    srvs = jnp.stack([srv, srv2])
+    jax.block_until_ready((refs, srvs))
+    scan_reps = 8
+
+    def scan_of(inner):
+        @jax.jit
+        def run(refs, srvs):
+            def step(acc, i):
+                out = inner(refs[i], srvs[i])
+                return acc + jnp.sum(jnp.abs(out)), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                  jnp.arange(scan_reps,
+                                             dtype=jnp.int32) % 2)
+            return acc
+        return run
+
+    def time_scan(run):
+        t0 = time.time()
+        float(run(refs, srvs))
+        c = time.time() - t0
+        t0 = time.time()
+        float(run(refs, srvs))
+        return (time.time() - t0) / scan_reps * 1000.0, c
+
+    vmap_scan_ms, c1 = time_scan(
+        scan_of(lambda r, s: _wb.wideband_frames(r, s, cfg)))
+    shmap_scan_ms, c2 = time_scan(scan_of(
+        lambda r, s: _wb.wideband_frames_shmap(r, s, cfg, mesh1)))
+    shmap_ms, full_scan_ms, shmap_compile_s = shmap_scan_ms, vmap_scan_ms, c2
 
     # channelizer-only share of per-CPI time (for the record; the shmap
     # path above time-shards it instead of replicating it per device)
@@ -139,10 +164,11 @@ def main():
           f"{n}-sample wideband CPIs; batch={batch}; "
           f"{cpi_per_s * n / 1e6:.0f} Msamples/s/chip; gen={gen_s:.1f}s "
           f"compile={compile_s:.1f}s run={elapsed:.2f}s", file=sys.stderr)
-    print(f"# shmap path (1-device mesh, time-sharded channelizer): "
-          f"{shmap_ms:.2f} ms/batch{batch} vs vmap {full_ms:.2f} — "
-          f"restructuring overhead {shmap_ms - full_ms:+.2f} ms "
-          f"(compile {shmap_compile_s:.1f}s)", file=sys.stderr)
+    print(f"# shmap path (1-device mesh, time-sharded channelizer), "
+          f"in-scan: {shmap_ms:.2f} ms/batch{batch} vs vmap in-scan "
+          f"{full_scan_ms:.2f} — restructuring overhead "
+          f"{shmap_ms - full_scan_ms:+.2f} ms "
+          f"(compiles {c1:.1f}/{shmap_compile_s:.1f}s)", file=sys.stderr)
     print(f"# channelizer alone (1 CPI pair): {chan_ms:.2f} ms = "
           f"{chan_ms / (full_ms / batch) * 100:.1f}% of per-CPI time "
           f"(shmap replication cost share)", file=sys.stderr)
