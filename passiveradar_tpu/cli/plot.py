@@ -45,10 +45,15 @@ class LazyCFAR:
 @fail_on_missing_capture
 def main(argv=None):
     p = parser("PASSIVE RADAR - VIDEO RENDERER", modes=("video", "frames"))
+    p.add_argument("--input", default=None,
+                   help="Map-stack path to render instead of the config's "
+                        "default output — e.g. a wideband per-channel stack "
+                        "(<output>.chK.<ftype>) or the --integrate stack "
+                        "(<output>.integrated.<ftype>)")
     args = p.parse_args(argv)
     cfg = load(args)
 
-    with AbsMapStack(cfg) as xambg:
+    with AbsMapStack(cfg, path=args.input) as xambg:
         print(f"Rendering range-Doppler maps {xambg.shape} (streamed)")
         cf = LazyCFAR(xambg)
         if args.mode == "frames":

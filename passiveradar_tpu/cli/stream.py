@@ -24,6 +24,10 @@ def main(argv=None):
                    help="Stop after this many frames (default: whole capture)")
     p.add_argument("--tracks", type=int, default=10,
                    help="Multitarget tracker slots")
+    p.add_argument("--detail", choices=("full", "summary"), default="full",
+                   help="Per-push result weight: 'summary' skips the "
+                        "CAF/CFAR map fetch and returns only the track "
+                        "summary (the low-latency realtime mode)")
     args = p.parse_args(argv)
     cfg = load(args)
     banner(cfg)
@@ -34,17 +38,20 @@ def main(argv=None):
     wideband = cfg.wideband_channels >= 2
     if wideband:
         from passiveradar_tpu.wideband import WidebandStreamingProcessor
-        sp = WidebandStreamingProcessor(cfg, n_tracks=args.tracks)
+        sp = WidebandStreamingProcessor(cfg, n_tracks=args.tracks,
+                                        detail=args.detail)
         print(f"Wideband streaming: {cfg.wideband_channels} channels, "
               f"tracking on {list(cfg.wideband_channel_select)}")
     else:
-        sp = StreamingProcessor(cfg, n_tracks=args.tracks)
+        sp = StreamingProcessor(cfg, n_tracks=args.tracks,
+                                detail=args.detail)
 
     def report(res, label=""):
         if res is None:
             return
-        status = np.asarray(res.tracks["status"])
-        est = np.asarray(res.tracks["estimate"])
+        table = res.summary if res.tracks is None else res.tracks
+        status = np.asarray(table["status"])
+        est = np.asarray(table["estimate"])
         confirmed = np.where(status == 2)[0]
         msg = ", ".join(
             f"track{i}: {est[i, 0]:.1f} km / {est[i, 1]:+.1f} Hz"

@@ -129,6 +129,10 @@ class StreamingProcessor:
         phases = jnp.asarray(frame_phases(cfg, [self._index]))
 
         def ship(raw):
+            if isinstance(raw, jax.Array) and not jnp.iscomplexobj(raw):
+                # already device-resident float IQ: no host round-trip
+                # (np.asarray here would fetch ~19 MB back over the link)
+                return raw[None]
             raw = np.asarray(raw)
             if np.iscomplexobj(raw):
                 # complex transfers are unsupported on some backends: ship

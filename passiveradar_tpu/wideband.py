@@ -274,6 +274,16 @@ def run_wideband_capture(reader, cfg: RadarConfig,
     batches = [(s, min(bf, total - s)) for s in range(0, total, bf)]
     prefetch = PrefetchReader(reader, batches, mode="iq")
     lc = cfg.input_chunk_length // 2
+    if mesh is not None:
+        # place inputs with the shmap program's parameter sharding up
+        # front — feeding differently-committed arrays makes jax reshard
+        # (copy) every operand on every dispatch (measured +99 ms/batch4
+        # on v5e before this, docs/PERFORMANCE.md round-5 note)
+        from jax.sharding import NamedSharding, PartitionSpec
+        in_sh = NamedSharding(mesh, PartitionSpec(None, axis_name, None))
+        ship = functools.partial(jax.device_put, device=in_sh)
+    else:
+        ship = jnp.asarray
     done = 0
     for (start, count), (_, _, (ref_raw, srv_raw)) in zip(batches, prefetch):
         buf_ref = np.zeros((bf, lc, 2), np.float32)
@@ -281,12 +291,12 @@ def run_wideband_capture(reader, cfg: RadarConfig,
         buf_ref[:count] = ref_raw.view(np.float32).reshape(count, lc, 2)
         buf_srv[:count] = srv_raw.view(np.float32).reshape(count, lc, 2)
         if mesh is not None:
-            maps_dev = wideband_frames_shmap(jnp.asarray(buf_ref),
-                                             jnp.asarray(buf_srv), cfg,
+            maps_dev = wideband_frames_shmap(ship(buf_ref),
+                                             ship(buf_srv), cfg,
                                              mesh, axis_name)
         else:
-            maps_dev = wideband_frames(jnp.asarray(buf_ref),
-                                       jnp.asarray(buf_srv), cfg)
+            maps_dev = wideband_frames(ship(buf_ref),
+                                       ship(buf_srv), cfg)
         maps = to_host_complex(maps_dev)[:count]     # (count, S, nf, R+1)
         for i, k in enumerate(select):
             writers[k].write(maps[:, i], start)
@@ -367,6 +377,8 @@ class WidebandStreamingProcessor:
             raise ValueError(f"unknown detail mode {detail!r}")
 
         def ship(raw):
+            if isinstance(raw, jax.Array) and not jnp.iscomplexobj(raw):
+                return raw          # device-resident IQ: no host round-trip
             raw = np.asarray(raw)
             if np.iscomplexobj(raw):
                 raw = raw.view(np.float32).reshape(-1, 2)

@@ -75,6 +75,16 @@ def test_track_simple_cli_plot(workspace, monkeypatch):
     assert os.path.exists(ws / "TRACKER_PLOT.png")
 
 
+@pytest.mark.parametrize("detail", ["full", "summary"])
+def test_stream_cli(workspace, capsys, detail):
+    ws, cfg_path, cfg = workspace
+    from passiveradar_tpu.cli.stream import main
+    main(["--config", cfg_path, "--max-frames", "3", "--detail", detail])
+    out = capsys.readouterr().out
+    assert "Streamed 3 frames" in out
+    assert "frame    0" in out
+
+
 def test_preview_cli(workspace, monkeypatch):
     ws, cfg_path, cfg = workspace
     monkeypatch.chdir(ws)

@@ -143,6 +143,26 @@ def test_streaming_summary_mode(tiny_cfg):
                                   want.tracks["status"])
 
 
+def test_streaming_accepts_device_resident_input(tiny_cfg):
+    """push() with jax Arrays must not round-trip through host numpy and
+    must produce the same results as the host-array path."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg
+    ref, srv = _make_frames(cfg, 3, (Target(40, 20.0, 0.12),))
+    host = StreamingProcessor(cfg, n_tracks=4)
+    dev = StreamingProcessor(cfg, n_tracks=4)
+    for f in range(3):
+        want = host.push(ref[f], srv[f])
+        got = dev.push(jnp.asarray(ref[f]), jnp.asarray(srv[f]))
+        if want is None:
+            assert got is None
+            continue
+        np.testing.assert_allclose(np.abs(got.caf), np.abs(want.caf),
+                                   rtol=1e-5,
+                                   atol=1e-6 * np.max(np.abs(want.caf)))
+
+
 def test_streaming_tracker_locks(tiny_cfg):
     cfg = tiny_cfg
     n_frames = 14

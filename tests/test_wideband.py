@@ -120,6 +120,20 @@ def test_wideband_capture_end_to_end(tmp_path, rng):
     assert meta["frame_timestamps"].shape == (3,)
     assert meta["range_bins"].shape == (r + 1,)
 
+    # the integrated stack renders through the standard plot CLI via --input
+    import os
+    os.makedirs(tmp_path / "render", exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path / "render")
+    try:
+        from passiveradar_tpu.cli.plot import main as plot_main
+        plot_main(["--config", cfg_path, "--mode", "frames",
+                   "--input", integrated_path(cfg)])
+        pngs = [f for f in os.listdir("IMG") if f.endswith(".png")]
+        assert len(pngs) == 3
+    finally:
+        os.chdir(cwd)
+
 
 def test_wideband_streaming_matches_offline(tmp_path, rng):
     params, cfg = _wb_cfg(tmp_path)
