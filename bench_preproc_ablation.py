@@ -77,7 +77,8 @@ def main():
     groups, up_f, down_f = st["groups_f"], st["up_f"], st["down_f"]
     pad_lraw = st["pad_l"] + st["ext"]
     bank = jnp.asarray(st["bank_f_ri"])
-    fg_f = jnp.asarray(st["fg_f"])
+    fg_np = st["fg_f"]      # host numpy: complex constants must only enter
+    #                         device land inside jit (relay restriction)
 
     # pre-built padded planes for variant (b)/(c): (2, F, n_pad) per part
     @jax.jit
@@ -123,7 +124,7 @@ def main():
     def with_out(i, d):
         o_re, o_im = mix_regroup_matmul(d[i, :, 0], d[i, :, 1], bank,
                                         down_f, groups, up_f)
-        bulk = jax.lax.complex(o_re, o_im) * fg_f[None, :, None]
+        bulk = jax.lax.complex(o_re, o_im) * jnp.asarray(fg_np)[None, :, None]
         flat = bulk.reshape(batch, groups * up_f)
         lo = st["shift"] + n_pre_remove
         y = flat[:, lo:lo + n_out]

@@ -171,7 +171,8 @@ def main():
           f"(compiles {c1:.1f}/{shmap_compile_s:.1f}s)", file=sys.stderr)
     print(f"# channelizer alone (1 CPI pair): {chan_ms:.2f} ms = "
           f"{chan_ms / (full_ms / batch) * 100:.1f}% of per-CPI time "
-          f"(shmap replication cost share)", file=sys.stderr)
+          f"(what per-device replication WOULD cost; the shmap path "
+          f"time-shards it instead)", file=sys.stderr)
 
 
 if __name__ == "__main__":

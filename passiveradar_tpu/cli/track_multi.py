@@ -18,10 +18,14 @@ TRAIL = 20     # fading-trail length in the video overlay
 def main(argv=None):
     p = parser("PASSIVE RADAR - MULTITARGET TRACKER",
                modes=("plot", "video", "frames"))
+    p.add_argument("--input", default=None,
+                   help="Map-stack path to track on instead of the config's "
+                        "default output (e.g. a wideband per-channel or "
+                        "--integrate stack)")
     args = p.parse_args(argv)
     cfg = load(args)
 
-    xambg = load_maps(cfg)
+    xambg = load_maps(cfg, path=args.input)
     cf = cfar_stack(xambg)
     hist = multitarget_tracker(
         cf, (cfg.max_doppler_actual, cfg.max_range_actual), N_TRACKS,

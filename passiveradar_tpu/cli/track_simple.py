@@ -15,10 +15,14 @@ from passiveradar_tpu.viz.render import render_video
 def main(argv=None):
     p = parser("PASSIVE RADAR - SIMPLE TARGET TRACKER",
                modes=("plot", "video", "frames"))
+    p.add_argument("--input", default=None,
+                   help="Map-stack path to track on instead of the config's "
+                        "default output (e.g. a wideband per-channel or "
+                        "--integrate stack)")
     args = p.parse_args(argv)
     cfg = load(args)
 
-    xambg = load_maps(cfg)
+    xambg = load_maps(cfg, path=args.input)
     cf = cfar_stack(xambg)
     hist = simple_target_tracker(cf, cfg.max_range_actual,
                                  cfg.max_doppler_actual, frames_last=True,

@@ -410,11 +410,18 @@ def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
     """
     from passiveradar_tpu.ops.resample_pallas import mix_regroup_matmul
 
+    # NOTE: an alternative input staging exists — feed the strided re/im
+    # views with mix_regroup_matmul(pad_left=pad_lraw) and skip the
+    # explicit transpose+pad. Measured TIMING-NEUTRAL on v5e
+    # (bench_preproc_ablation 2026-08-21: 3.25 ms/batch8 either way; XLA
+    # fuses this chain into the same copies), so this call-site keeps the
+    # materialised form whose compiled pipeline HLO is already cached.
     if jnp.iscomplexobj(x):
         planes = jnp.stack([jnp.real(x), jnp.imag(x)], axis=1)
     else:
         planes = x.transpose(0, 2, 1).astype(jnp.float32)     # (F, 2, n)
     f, _, n_in = planes.shape
+    p_re, p_im = planes[:, 0], planes[:, 1]
     st = _mix_resample_fold(h_key, up, down, c, n_in, mode, fold)
     groups, up_f = st["groups_f"], st["up_f"]
     pad_lraw = st["pad_l"] + st["ext"]
@@ -428,8 +435,8 @@ def _mix_resample_batch_jit(x, phases, h_key, up, down, c, mode,
     if st["corr_flat"] is not None:
         tl, t_r0, c1l, c2l, c1r, c2r = st["corr_flat"]
         t_hi = t_r0 + c1r.shape[0]
-        m0 = jax.lax.complex(planes[:, 0, 0], planes[:, 1, 0])[:, None]
-        mn = jax.lax.complex(planes[:, 0, -1], planes[:, 1, -1])[:, None]
+        m0 = jax.lax.complex(p_re[:, 0], p_im[:, 0])[:, None]
+        mn = jax.lax.complex(p_re[:, -1], p_im[:, -1])[:, None]
         if tl:
             flat = flat.at[:, :tl].add(jnp.asarray(c1l)[None] * m0
                                        + jnp.asarray(c2l)[None] * mn)

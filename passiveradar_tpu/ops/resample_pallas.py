@@ -158,10 +158,10 @@ def _kernel_cx(xa, xb, bkt, out, buf, w2, *, f8: int, down: int, kw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("down", "groups", "up",
-                                             "interpret"))
+                                             "interpret", "pad_left"))
 def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
                        bank: jnp.ndarray, down: int, groups: int, up: int,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, pad_left: int = 0):
     """Complex-output regroup+matmul: the complex combine rides the MXU.
 
     planes_re/planes_im: (F, n) float32 — the re/im planes of F frames.
@@ -174,6 +174,16 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
     [re window | im window] (2*kw*128 lanes, kw = ceil(W/128); the im half
     starts at lane kw*128) and the bank supplies [Br; −Bi] columns for o_re
     and [Bi; Br] for o_im.
+
+    ``pad_left`` zero-pads the planes on the left INSIDE the staging copy:
+    the planes land at lane offset pad_left of the zero staging buffer, so
+    callers pass their raw (even strided-view) planes with no separate
+    jnp.pad pass. Measured TIMING-NEUTRAL on v5e (bench_preproc_ablation:
+    full stage 3.25 ms/batch8 before and after — XLA already fused the
+    old transpose+pad+set chain into the same copies); kept because it
+    makes the staging explicit and validated. The stage's remaining
+    input-side cost (~0.74 ms/channel-batch) is the intrinsic strided
+    deinterleave read of the re/im planes, ~2x the contiguous-copy floor.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -182,7 +192,7 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
         parts = [mix_regroup_matmul(planes_re[r:r + ROWS_CHUNK],
                                     planes_im[r:r + ROWS_CHUNK],
                                     bank, down, groups, up,
-                                    interpret=interpret)
+                                    interpret=interpret, pad_left=pad_left)
                  for r in range(0, f, ROWS_CHUNK)]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
                 jnp.concatenate([p[1] for p in parts], axis=0))
@@ -211,9 +221,12 @@ def mix_regroup_matmul(planes_re: jnp.ndarray, planes_im: jnp.ndarray,
             f"lookahead {look} lanes exceeds the grid block span "
             f"{c_len} (groups_step({down})={gs}) — geometry unsupported")
     need = (steps + 1) * c_len
+    if pad_left + n > need:
+        raise ValueError(f"pad_left {pad_left} + n {n} exceeds the staging "
+                         f"span {need}")
     xp = jnp.zeros((2 * f8, need), jnp.float32)
-    xp = xp.at[:f, :n].set(planes_re)
-    xp = xp.at[f8:f8 + f, :n].set(planes_im)
+    xp = xp.at[:f, pad_left:pad_left + n].set(planes_re)
+    xp = xp.at[f8:f8 + f, pad_left:pad_left + n].set(planes_im)
 
     kern = functools.partial(_kernel_cx, f8=f8, down=down, kw=kw, gs=gs)
     out = pl.pallas_call(

@@ -219,6 +219,50 @@ def test_mix_resample_batch_pallas_geometries(rng, monkeypatch, up, down,
     assert np.max(np.abs(got - want)) < 2e-6 * scale
 
 
+def test_mix_regroup_matmul_pad_left_matches_explicit_pad(rng):
+    """pad_left staging (zero pad folded into the kernel's staging copy)
+    must equal explicitly pre-padded planes."""
+    from passiveradar_tpu.ops.resample_pallas import mix_regroup_matmul
+
+    up, down, groups, pad = 13, 119, 40, 37
+    n = down * groups - pad - 100
+    pr = rng.standard_normal((3, n)).astype(np.float32)
+    pi = rng.standard_normal((3, n)).astype(np.float32)
+    bank = rng.standard_normal((2 * up, 240)).astype(np.float32)
+    want = mix_regroup_matmul(
+        jnp.asarray(np.pad(pr, ((0, 0), (pad, 0)))),
+        jnp.asarray(np.pad(pi, ((0, 0), (pad, 0)))),
+        jnp.asarray(bank), down, groups, up, interpret=True)
+    got = mix_regroup_matmul(jnp.asarray(pr), jnp.asarray(pi),
+                             jnp.asarray(bank), down, groups, up,
+                             interpret=True, pad_left=pad)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mix_regroup_matmul_rejects_bad_geometry(rng):
+    """The kernel wrapper must fail loudly (not wrong-answer) when the
+    lookahead exceeds the grid block span or the left pad overflows the
+    staging buffer."""
+    from passiveradar_tpu.ops.resample_pallas import mix_regroup_matmul
+
+    pr = rng.standard_normal((2, 256)).astype(np.float32)
+    pi = rng.standard_normal((2, 256)).astype(np.float32)
+    # down=2 -> gs capped at 128 -> span 256 lanes < (kw+1)*128 for kw>=2
+    wide_bank = rng.standard_normal((2, 200)).astype(np.float32)
+    with pytest.raises(ValueError, match="lookahead"):
+        mix_regroup_matmul(jnp.asarray(pr), jnp.asarray(pi),
+                           jnp.asarray(wide_bank), 2, 128, 1,
+                           interpret=True)
+    bank = rng.standard_normal((2, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="staging"):
+        mix_regroup_matmul(jnp.asarray(pr), jnp.asarray(pi),
+                           jnp.asarray(bank), 119, 10, 1,
+                           interpret=True, pad_left=10 ** 6)
+
+
 # ---------------------------------------------------------------------------
 # IIR decimation (scipy.signal.decimate default path) — ops/iir.py
 # ---------------------------------------------------------------------------
