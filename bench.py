@@ -81,7 +81,11 @@ def main():
     from passiveradar_tpu.pipeline import (_process_frames_groups_jit,
                                            _routing_key)
 
-    groups = 8
+    # dispatch-group sweep (same-session pairs, 2026-08-21): G=12 beats
+    # G=8 consistently (583.7/582.2 vs 575.5/569) — the bigger program
+    # amortises the relay tax faster than the tax+input-stack grow; G=16
+    # loses (477, HBM pressure). docs/PERFORMANCE.md.
+    groups = 12
     refs = jnp.stack([ref, ref2] * (groups // 2))
     srvs = jnp.stack([srv, srv2] * (groups // 2))
     phg = jnp.broadcast_to(phases, (groups,) + phases.shape)
@@ -100,10 +104,11 @@ def main():
 
     # steady state: alternate two input sets inside each group's stack,
     # chain through an on-device accumulator, fetch once at the end
-    reps = 32
+    dispatches = 3
+    reps = dispatches * groups
     t0 = time.time()
     acc = jnp.float32(0.0)
-    for i in range(reps // groups):
+    for i in range(dispatches):
         acc = group_step(refs, srvs, phg, acc, cfg, routing)
     float(acc)
     elapsed = time.time() - t0
